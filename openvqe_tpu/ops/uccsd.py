@@ -1,0 +1,89 @@
+"""UCCSD cluster operators, MP2 initial guess, and HF occupation integer.
+
+Replacement for ``qat.fermion.chemistry.ucc_deprecated.
+get_cluster_ops_and_init_guess`` (consumed at reference
+generator_excitations.py:76-78 and molecule_factory.py:473-475).
+
+Spin-orbital convention: interleaved (alpha = even, beta = odd), occupied =
+the lowest ``n_elec`` spin-orbitals of the RHF determinant.  hpqrs is the
+spin-orbital tensor of ``ops.hamiltonian.convert_to_h_integrals`` so
+<ab|ij> = hpqrs[a, b, j, i].
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from .fermion import FermionOperator, FermionTerm
+
+
+def uccsd_excitations(n_spin_orb: int, n_elec: int
+                      ) -> Tuple[List[Tuple[int, int]], List[Tuple[int, int, int, int]]]:
+    """Spin-conserving occupied->virtual singles (i, a) and doubles
+    (i, j, a, b) with i<j, a<b."""
+    occ = list(range(n_elec))
+    virt = list(range(n_elec, n_spin_orb))
+    singles = [(i, a) for i in occ for a in virt if i % 2 == a % 2]
+    doubles = []
+    for xi, i in enumerate(occ):
+        for j in occ[xi + 1:]:
+            for xa, a in enumerate(virt):
+                for b in virt[xa + 1:]:
+                    if (i % 2 + j % 2) == (a % 2 + b % 2) and \
+                       sorted((i % 2, j % 2)) == sorted((a % 2, b % 2)):
+                        doubles.append((i, j, a, b))
+    return singles, doubles
+
+
+def single_op(i: int, a: int, n: int, coeff: float = 1.0) -> FermionOperator:
+    """T - T† for a single excitation: a†_a a_i - a†_i a_a."""
+    return FermionOperator(n, [
+        FermionTerm(coeff, "Cc", [a, i]),
+        FermionTerm(-coeff, "Cc", [i, a]),
+    ])
+
+
+def double_op(i: int, j: int, a: int, b: int, n: int,
+              coeff: float = 1.0) -> FermionOperator:
+    """a†_a a†_b a_j a_i - a†_i a†_j a_b a_a."""
+    return FermionOperator(n, [
+        FermionTerm(coeff, "CCcc", [a, b, j, i]),
+        FermionTerm(-coeff, "CCcc", [i, j, b, a]),
+    ])
+
+
+def get_cluster_ops_and_init_guess(
+    n_elec: int,
+    noons_full: Sequence[float],
+    orb_energies_full: Sequence[float],
+    hpqrs: np.ndarray,
+) -> Tuple[List[FermionOperator], List[float], int]:
+    """(cluster_ops, theta_MP2, hf_init).
+
+    theta for doubles is the spin-orbital MP2 amplitude
+    t_ijab = <ab||ij> / (e_i + e_j - e_a - e_b); singles get 0.
+    hf_init encodes the HF determinant with spin-orbital 0 as MSB
+    (the layout consumed by numpy.binary_repr at molecule_factory.py:486).
+    """
+    n = len(list(noons_full))
+    eps = np.asarray(orb_energies_full, dtype=float)
+    ops: List[FermionOperator] = []
+    thetas: List[float] = []
+
+    singles, doubles = uccsd_excitations(n, n_elec)
+    for (i, a) in singles:
+        ops.append(single_op(i, a, n))
+        thetas.append(0.0)
+    for (i, j, a, b) in doubles:
+        ops.append(double_op(i, j, a, b, n))
+        g_abij = hpqrs[a, b, j, i]   # <ab|ij>
+        g_abji = hpqrs[a, b, i, j]   # <ab|ji>
+        denom = eps[i] + eps[j] - eps[a] - eps[b]
+        thetas.append(float((g_abij - g_abji) / denom) if denom != 0 else 0.0)
+
+    hf_init = 0
+    for k in range(n_elec):
+        hf_init |= 1 << (n - 1 - k)
+    return ops, thetas, hf_init
