@@ -93,9 +93,14 @@ class FermionOperator:
         return FermionOperator(self.nbqbits, [t.dagger() for t in self.terms],
                                self.constant_coeff.conjugate())
 
-    def merged(self, tol: float = 0.0) -> "FermionOperator":
+    def merged(self, tol: float | None = None) -> "FermionOperator":
         """Merge terms with identical (ops, qbits); reference
-        ``generator_excitations.py:362-400`` (merge_duplicate_terms)."""
+        ``generator_excitations.py:362-400`` (merge_duplicate_terms).
+
+        ``tol=None`` keeps exactly-cancelled (zero-coefficient) terms — the
+        reference/qat behavior that pool-size goldens depend on (a fully
+        cancelled operator still occupies a pool slot, e.g. the p==q
+        spin-complement singles).  Pass a float to prune instead."""
         acc: Dict[Tuple[str, Tuple[int, ...]], complex] = {}
         order: List[Tuple[str, Tuple[int, ...]]] = []
         for t in self.terms:
@@ -106,7 +111,7 @@ class FermionOperator:
                 acc[k] = t.coeff
                 order.append(k)
         terms = [FermionTerm(acc[k], k[0], list(k[1])) for k in order
-                 if abs(acc[k]) > tol]
+                 if tol is None or abs(acc[k]) > tol]
         return FermionOperator(self.nbqbits, terms, self.constant_coeff)
 
     def normal_ordered(self) -> "FermionOperator":
