@@ -1,0 +1,315 @@
+"""Fermionic and qubit ADAPT-VQE loops.
+
+Rebuild of reference ``adapt/fermionic_adapt_vqe.py`` (:371-593) and
+``adapt/qubit_adapt_vqe.py`` (:310-605), TPU-first:
+
+* The full-pool gradient screen is ONE fused batched pass over compiled
+  Pauli masks (sim.statevector.pool_overlaps) instead of a per-operator
+  sparse-matvec loop; qubit-ADAPT's per-iteration 2^n CSR kron rebuild
+  (qubit_adapt_vqe.py:462-465) disappears entirely.
+* One state representation: the reference maintains a myQLM circuit AND a
+  scipy-sparse vector in parallel (SURVEY.md §0); here there is a single
+  statevector updated by exact Pauli rotations.
+* Inner re-optimizations use the jitted ansatz energy with the exact
+  reversible-adjoint gradient (BFGS paths); COBYLA stays derivative-free as
+  in the reference defaults.
+* Fidelity tracking uses a matrix-free Lanczos ground state instead of the
+  reference's dense 2^n eigh (fermionic_adapt_vqe.py:474 — its scaling wall).
+
+The per-iteration metric dicts and result dicts keep the reference's keys.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.optimize
+import scipy.sparse.linalg as spla
+
+from ..ops.pauli import PauliSum
+from ..sim import statevector as sv
+from ..sim.compile import compile_pauli_sum, compile_pool
+from ..utils.gate_count import staircase_gate_counts
+from ..utils.sorted_gradient import (
+    abs_sort_desc,
+    corresponding_index,
+    index_without_0,
+    value_without_0,
+)
+from .energy_ucc import build_vqe_objective
+
+
+def exact_ground_state(hamiltonian_sp: PauliSum, max_qubits: int = 24
+                       ) -> Optional[Tuple[float, np.ndarray]]:
+    """Matrix-free Lanczos ground state of a compiled Pauli sum (replaces the
+    dense eigh at fermionic_adapt_vqe.py:474)."""
+    n = hamiltonian_sp.nbqbits
+    if n > max_qubits:
+        return None
+    ham = compile_pauli_sum(hamiltonian_sp, n)
+    hx, hz, ha, hc = sv.as_device(ham)
+
+    def matvec(v):
+        out = sv.ham_apply(jnp.asarray(v, dtype=sv.default_cdtype()),
+                           hx, hz, ha, hc)
+        return sv.to_host(out)
+
+    dim = 1 << n
+    if dim <= 64:
+        m = hamiltonian_sp.to_matrix()
+        w, v = np.linalg.eigh(m)
+        return float(w[0]), v[:, 0]
+    op = spla.LinearOperator((dim, dim), matvec=matvec, dtype=complex)
+    w, v = spla.eigsh(op, k=1, which="SA")
+    return float(w[0]), v[:, 0]
+
+
+def _fidelity(psi, ground: Optional[np.ndarray]) -> float:
+    """|<ground|psi>|^2 computed on device (psi stays a device array; complex
+    D2H is unavailable on the axon TPU backend)."""
+    if ground is None:
+        return float("nan")
+    g = jnp.asarray(ground, dtype=psi.dtype)
+    ov = jnp.vdot(g, psi)
+    return float(jnp.real(ov) ** 2 + jnp.imag(ov) ** 2)
+
+
+def _screen(grad_fn, psi) -> np.ndarray:
+    """Complex overlaps v_i = <H psi | A_i psi> for the whole pool."""
+    return grad_fn(psi)
+
+
+def _sort_gradients(list_grad: List[float]):
+    vals = value_without_0(list_grad)
+    idxs = index_without_0(list_grad)
+    sorted_vals = abs_sort_desc(vals)
+    sorted_idx = corresponding_index(vals, idxs, sorted_vals)
+    return sorted_vals, sorted_idx
+
+
+def fermionic_adapt_vqe(
+    cluster_ops_sp: Sequence[PauliSum],
+    hamiltonian_sp: PauliSum,
+    hf_init_sp: int,
+    n_max_grads: int = 1,
+    fci: Optional[float] = None,
+    optimizer: str = "COBYLA",
+    tolerance: float = 1e-6,
+    type_conver: str = "norm",
+    threshold_needed: float = 1e-2,
+    max_external_iterations: int = 35,
+    fidelity_max_qubits: int = 20,
+    verbose: bool = True,
+) -> Tuple[Dict, Dict]:
+    """Fermionic ADAPT-VQE (reference fermionic_adapt_vqe.py:371-593).
+
+    ``cluster_ops_sp`` are the anti-Hermitian JW images of the pool; selected
+    ops enter the ansatz as 1j * A (reference :551-556) with theta0 = 0.01.
+    Gradient screen: g_i = 2 Re <psi|H A_i|psi> (reference :41-74).
+    """
+    if type_conver != "norm":
+        raise ValueError("type convergence is not defined")
+
+    iterations = {k: [] for k in ("energies", "energies_substracted_from_FCI",
+                                  "norms", "Max_gradients", "fidelity",
+                                  "CNOTs", "Hadamard", "RY", "RX")}
+    result: Dict = {}
+    n = hamiltonian_sp.nbqbits
+    pool = compile_pool(cluster_ops_sp, n)
+    grad_fn = sv.build_pool_gradient_fn(pool, compile_pauli_sum(hamiltonian_sp, n))
+
+    ground = exact_ground_state(hamiltonian_sp, fidelity_max_qubits)
+    ground_vec = ground[1] if ground is not None else None
+
+    psi = sv.hf_state(n, hf_init_sp)
+    ref_energy = float(sv.expectation(
+        psi, *sv.as_device(compile_pauli_sum(hamiltonian_sp, n))))
+    if verbose:
+        print(" The reference energy of the molecular system is: %12.8f"
+              % ref_energy)
+
+    ansatz_gens: List[PauliSum] = []
+    op_indices: List[int] = []
+    parameters_ansatz: List[float] = []
+    prev_norm = 0.0
+    last_energy = ref_energy
+
+    for n_iter in range(max_external_iterations):
+        if verbose:
+            print("\n Fermionic_ADAPT-VQE iteration: ", n_iter)
+        v = _screen(grad_fn, psi)
+        list_grad = (2.0 * np.real(v)).tolist()
+        curr_norm = float(np.sqrt(np.sum(np.square(list_grad))))
+        sorted_vals, sorted_idx = _sort_gradients(list_grad)
+        next_deriv = sorted_vals[0] if sorted_vals else 0.0
+        if verbose:
+            print(" Norm of the gradients in current iteration = %12.8f"
+                  % curr_norm)
+            print(" Max gradient in current iteration= %12.8f" % next_deriv)
+        fid = _fidelity(psi, ground_vec)
+
+        converged = curr_norm < threshold_needed
+        if converged or abs(curr_norm - prev_norm) < 1e-8:
+            if verbose:
+                print("Convergence is done")
+            result["indices"] = op_indices
+            result["Number_operators"] = len(ansatz_gens)
+            result["final_norm"] = curr_norm
+            result["parameters"] = parameters_ansatz
+            counts = staircase_gate_counts(ansatz_gens, hf_init_sp)
+            result["Number_CNOT_gates"] = counts["CNOT"]
+            result["Number_Hadamard_gates"] = counts["H"]
+            result["Number_RX_gates"] = counts["RX"]
+            result["final_energy_last_iteration"] = last_energy
+            break
+
+        chosen = sorted_vals
+        curr_norm1 = float(np.sqrt(np.sum(np.square(chosen)))) if chosen else 0.0
+        take = min(n_max_grads, len(sorted_idx))
+        for j in range(take):
+            parameters_ansatz.append(0.01)
+            ansatz_gens.append(cluster_ops_sp[sorted_idx[j]] * 1j)
+            op_indices.append(sorted_idx[j])
+
+        energy, grad, forward = build_vqe_objective(hamiltonian_sp,
+                                                    ansatz_gens, hf_init_sp)
+        jac = (lambda t: np.asarray(grad(jnp.asarray(t)), dtype=float)) \
+            if optimizer not in ("COBYLA", "Nelder-Mead", "Powell") else None
+        opt_result = scipy.optimize.minimize(
+            lambda t: float(energy(jnp.asarray(t))),
+            x0=np.asarray(parameters_ansatz, dtype=float),
+            method=optimizer, tol=tolerance, jac=jac,
+            options={"maxiter": 100000, "disp": False})
+        parameters_ansatz = list(map(float, opt_result.x))
+        last_energy = float(opt_result.fun)
+        if verbose:
+            print(" Finished energy iteration_i: %20.12f" % last_energy)
+        psi = forward(jnp.asarray(parameters_ansatz))  # stays on device
+        prev_norm = curr_norm
+
+        counts = staircase_gate_counts(ansatz_gens, hf_init_sp)
+        iterations["energies"].append(last_energy)
+        iterations["energies_substracted_from_FCI"].append(
+            abs(last_energy - fci) if fci is not None else float("nan"))
+        iterations["norms"].append(curr_norm1)
+        iterations["Max_gradients"].append(sorted_vals[0] if sorted_vals else 0.0)
+        iterations["fidelity"].append(fid)
+        iterations["CNOTs"].append(counts["CNOT"])
+        iterations["Hadamard"].append(counts["H"])
+        iterations["RY"].append(counts["RY"])
+        iterations["RX"].append(counts["RX"])
+    return iterations, result
+
+
+def qubit_adapt_vqe(
+    hamiltonian_sp: PauliSum,
+    pool_mix: Sequence[PauliSum],
+    hf_init_sp: int,
+    fci: Optional[float] = None,
+    n_max_grads: int = 2,
+    adapt_conver: str = "norm",
+    adapt_thresh: float = 1e-8,
+    adapt_maxiter: int = 45,
+    tolerance_sim: float = 1e-7,
+    method_sim: str = "BFGS",
+    verbose: bool = True,
+) -> Tuple[Dict, Dict, Dict, Dict]:
+    """Qubit ADAPT-VQE (reference qubit_adapt_vqe.py:310-605).
+
+    Pool ops are Hermitian Pauli sums used directly as generators;
+    g_i = 2|<psi|H A_i|psi>| (reference :126-150, absolute value —
+    deliberately different from the fermionic signed gradient);
+    theta0 of a newly added op is its normalized gradient gamma_i
+    (reference :527-542; the normalization here applies sqrt once, fixing
+    the reference's in-loop re-sqrt).
+
+    Returns (iterations_sim, iterations_ana, result_sim, result_ana); the
+    *_ana dicts stay empty — the reference's analytical path is
+    commented-out scaffolding (:545-572).
+    """
+    if adapt_conver != "norm":
+        raise ValueError("Convergence criterion not defined")
+
+    iterations_sim = {k: [] for k in ("energies", "energies_substracted_from_fci",
+                                      "norms", "Max_gradient", "CNOTs",
+                                      "Hadamard", "RY", "RX")}
+    iterations_ana = {k: [] for k in ("energies", "energies_substracted_from_fci",
+                                      "norms", "Max_gradient")}
+    result_sim: Dict = {}
+    result_ana: Dict = {}
+
+    n = hamiltonian_sp.nbqbits
+    pool = compile_pool(pool_mix, n)
+    grad_fn = sv.build_pool_gradient_fn(pool, compile_pauli_sum(hamiltonian_sp, n))
+
+    psi = sv.hf_state(n, hf_init_sp)
+    ref_energy = float(sv.expectation(
+        psi, *sv.as_device(compile_pauli_sum(hamiltonian_sp, n))))
+    if verbose:
+        print("reference_energy:", ref_energy)
+
+    ansatz_gens: List[PauliSum] = []
+    op_indices: List[int] = []
+    parameters_sim: List[float] = []
+    prev_norm = 0.0
+    last_energy = ref_energy
+
+    for n_iter in range(adapt_maxiter):
+        if verbose:
+            print("\n Qubit ADAPT-VQE iteration: ", n_iter)
+        v = _screen(grad_fn, psi)
+        list_grad = (2.0 * np.abs(v)).tolist()
+        curr_norm = float(np.sqrt(np.sum(np.square(list_grad))))
+        sorted_vals, sorted_idx = _sort_gradients(list_grad)
+        if verbose:
+            print(" Norm of <[H,A]> = %12.8f" % curr_norm)
+
+        converged = curr_norm < adapt_thresh
+        if converged or abs(curr_norm - prev_norm) < 1e-7:
+            if verbose:
+                print(" Ansatz Growth Converged!")
+            result_sim["optimizer"] = method_sim
+            result_sim["final_norm"] = curr_norm
+            result_sim["indices"] = op_indices
+            result_sim["len_operators"] = len(op_indices)
+            result_sim["parameters"] = parameters_sim
+            result_sim["final_energy"] = last_energy
+            break
+
+        curr_norm1 = float(np.sqrt(np.sum(np.square(sorted_vals)))) \
+            if sorted_vals else 0.0
+        take = min(int(n_max_grads), len(sorted_idx))
+        for m in range(take):
+            parameters_sim.append(sorted_vals[m] / curr_norm1)
+            ansatz_gens.append(pool_mix[sorted_idx[m]])
+            op_indices.append(sorted_idx[m])
+
+        energy, grad, forward = build_vqe_objective(hamiltonian_sp,
+                                                    ansatz_gens, hf_init_sp)
+        jac = (lambda t: np.asarray(grad(jnp.asarray(t)), dtype=float)) \
+            if method_sim not in ("COBYLA", "Nelder-Mead", "Powell") else None
+        opt = scipy.optimize.minimize(
+            lambda t: float(energy(jnp.asarray(t))),
+            x0=np.asarray(parameters_sim, dtype=float),
+            method=method_sim, tol=tolerance_sim, jac=jac,
+            options={"maxiter": 100000, "disp": False})
+        parameters_sim = list(map(float, opt.x))
+        last_energy = float(opt.fun)
+        if verbose:
+            print(" Energy reached from the simulator: %20.12f" % last_energy)
+        psi = forward(jnp.asarray(parameters_sim))  # stays on device
+        prev_norm = curr_norm
+
+        counts = staircase_gate_counts(ansatz_gens, hf_init_sp)
+        iterations_sim["energies"].append(last_energy)
+        iterations_sim["energies_substracted_from_fci"].append(
+            abs(last_energy - fci) if fci is not None else float("nan"))
+        iterations_sim["norms"].append(curr_norm)
+        iterations_sim["Max_gradient"].append(sorted_vals[0] if sorted_vals else 0.0)
+        iterations_sim["CNOTs"].append(counts["CNOT"])
+        iterations_sim["Hadamard"].append(counts["H"])
+        iterations_sim["RY"].append(counts["RY"])
+        iterations_sim["RX"].append(counts["RX"])
+    return iterations_sim, iterations_ana, result_sim, result_ana

@@ -35,13 +35,18 @@ def default_cdtype():
 
 # ------------------------------------------------------------- state setup
 
-def hf_state(n: int, hf_init: int, dtype=None) -> jnp.ndarray:
+def hf_state(n: int, hf_init: int, dtype=None) -> np.ndarray:
     """|hf_init> one-hot statevector; hf_init bits use qubit0 = MSB
-    (reference from_ket_to_vector, molecule_factory.py:494-499)."""
+    (reference from_ket_to_vector, molecule_factory.py:494-499).
+
+    Returned as a HOST numpy array: jitted closures capture it as a constant,
+    and host constants avoid the complex-D2H path the axon TPU backend lacks.
+    """
     dtype = dtype or default_cdtype()
-    psi = np.zeros(1 << n, dtype=np.complex128)
+    np_c = np.complex128 if dtype == jnp.complex128 else np.complex64
+    psi = np.zeros(1 << n, dtype=np_c)
     psi[hf_init] = 1.0
-    return jnp.asarray(psi, dtype=dtype)
+    return psi
 
 
 def _indices(dim: int) -> jnp.ndarray:
@@ -173,6 +178,56 @@ def build_energy_fn(psi0, seq: CompiledOpSequence, ham: CompiledPauliSum,
     return jax.jit(energy), jax.jit(_forward)
 
 
+# -------------------------------------------------- batched ADAPT screening
+
+def pool_overlaps(psi: jnp.ndarray, sigma: jnp.ndarray, x: jnp.ndarray,
+                  z: jnp.ndarray, a: jnp.ndarray, op_index: jnp.ndarray,
+                  n_ops: int) -> jnp.ndarray:
+    """v_i = <sigma| A_i |psi> for every pool operator in ONE fused pass.
+
+    Replaces the reference's per-operator sparse-matvec screening loops
+    (adapt/fermionic_adapt_vqe.py:110-122, adapt/qubit_adapt_vqe.py:462-470
+    — the latter even rebuilds each operator's 2^n CSR matrix every outer
+    iteration).  Fermionic ADAPT uses g_i = 2*Re(v_i); qubit ADAPT uses
+    g_i = 2*|Re part of <bra H A psi>| (reference qubit_adapt_vqe.py:126-150).
+    """
+    idx = _indices(psi.shape[0])
+
+    def step(acc, term):
+        xt, zt, at, ot = term
+        sgn = 1.0 - 2.0 * (jax.lax.population_count(idx & zt) & 1).astype(jnp.float32)
+        val = at * jnp.vdot(sigma, sgn.astype(psi.dtype) * psi[idx ^ xt])
+        return acc.at[ot].add(val), None
+
+    acc0 = jnp.zeros(n_ops, dtype=psi.dtype)
+    out, _ = jax.lax.scan(step, acc0, (x, z, a, op_index))
+    return out
+
+
+def build_pool_gradient_fn(seq: CompiledOpSequence, ham: CompiledPauliSum,
+                           cdtype=None):
+    """jitted (psi -> complex overlaps v_i) for a fixed pool + Hamiltonian."""
+    cdtype = cdtype or default_cdtype()
+    px, pz, pk, pw, pop = seq_as_device(seq, cdtype)
+    pa = pw * pk
+    hx, hz, ha, hconst = as_device(ham, cdtype)
+    n_ops = seq.n_ops
+
+    @jax.jit
+    def grads(psi):
+        sigma = ham_apply(psi, hx, hz, ha, hconst)
+        v = pool_overlaps(psi, sigma, px, pz, pa, pop, n_ops)
+        # stacked (re, im) so the result can cross to host on backends
+        # without complex D2H support
+        return jnp.stack([jnp.real(v), jnp.imag(v)])
+
+    def grads_host(psi) -> np.ndarray:
+        out = np.asarray(grads(psi))
+        return out[0] + 1j * out[1]
+
+    return grads_host
+
+
 # -------------------------------------------------------------- gate layer
 
 def apply_x(psi: jnp.ndarray, q: int, n: int) -> jnp.ndarray:
@@ -217,17 +272,30 @@ def apply_cnot(psi, control: int, target: int, n: int):
 
 
 # ------------------------------------------------------------ host wrappers
+#
+# Operator arrays are kept as HOST numpy arrays and closed over by jitted
+# functions (embedded as constants at trace time).  This matters on the axon
+# TPU backend: device->host transfer of complex arrays is UNIMPLEMENTED
+# there, and capturing a *device* complex array as a jit constant triggers
+# exactly such a transfer during lowering.  Host->device works fine.
 
 def as_device(csum: CompiledPauliSum, cdtype=None):
     cdtype = cdtype or default_cdtype()
-    return (jnp.asarray(csum.x), jnp.asarray(csum.z),
-            jnp.asarray(csum.coeffs(), dtype=cdtype),
-            jnp.asarray(csum.const, dtype=cdtype))
+    np_c = np.complex128 if cdtype == jnp.complex128 else np.complex64
+    return (csum.x, csum.z, csum.coeffs().astype(np_c),
+            np.asarray(csum.const, dtype=np_c))
 
 
 def seq_as_device(seq: CompiledOpSequence, cdtype=None):
     cdtype = cdtype or default_cdtype()
-    return (jnp.asarray(seq.x), jnp.asarray(seq.z),
-            jnp.asarray(seq.kappa, dtype=cdtype),
-            jnp.asarray(seq.w, dtype=cdtype),
-            jnp.asarray(seq.op_index))
+    np_c = np.complex128 if cdtype == jnp.complex128 else np.complex64
+    return (seq.x, seq.z, seq.kappa.astype(np_c), seq.w.astype(np_c),
+            seq.op_index)
+
+
+def to_host(psi: jnp.ndarray) -> np.ndarray:
+    """Complex statevector -> host numpy via separate real/imag transfers
+    (complex D2H is unimplemented on the axon TPU backend)."""
+    re = np.asarray(jnp.real(psi), dtype=np.float64)
+    im = np.asarray(jnp.imag(psi), dtype=np.float64)
+    return re + 1j * im
