@@ -1,0 +1,43 @@
+"""Benchmark: CS-ADAPT-VQE on the 8-qubit contextual Hamiltonian.
+
+This is the reference's headline benchmark (BASELINE.md:
+``applications/quantum_batteries/logs/adapt.txt`` — 1.219 s +- 0.065 per
+experiment at rel.err 3.077e-05 vs CCSD on an NVIDIA GPU via CUDA-Q).
+Same experiment protocol: 20 repeats of the full one-shot ADAPT workflow
+(screen all doubles, VQE, screen all singles, final joint VQE), mean
+wall-clock per experiment, excluding one warm-up run (the reference's CUDA-Q
+kernels are also JIT-compiled on first use).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is the speedup factor over the reference GPU wall-clock.
+"""
+
+import json
+import sys
+
+BASELINE_SECONDS = 1.219          # logs/adapt.txt:15 (8-qubit, NVIDIA GPU)
+BASELINE_REL_ERR = 3.077e-05      # logs/adapt.txt:9-15
+
+
+def main():
+    from openvqe_tpu.apps.quantum_batteries.adapt import run_cs_adapt
+
+    res = run_cs_adapt(num_iterations=20, qubit_counts=(8,),
+                       optimizer="lbfgs-fused", verbose=False)
+    mean_s = res["mean_durations"][0]
+    rel_err = res["mean_rel_errs"][0]
+    ok = rel_err <= 2.0 * BASELINE_REL_ERR  # must match reference accuracy
+    out = {
+        "metric": "CS-ADAPT-VQE 8-qubit wall-clock per experiment"
+                  + ("" if ok else " (ACCURACY MISS)"),
+        "value": round(mean_s, 6),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / mean_s, 3),
+        "rel_err_vs_ccsd": rel_err,
+        "baseline_s": BASELINE_SECONDS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,12 +49,11 @@ def exact_ground_state(hamiltonian_sp: PauliSum, max_qubits: int = 24
     if n > max_qubits:
         return None
     ham = compile_pauli_sum(hamiltonian_sp, n)
-    hx, hz, ha, hc = sv.as_device(ham)
+    hargs = sv.as_device(ham)
 
     def matvec(v):
-        out = sv.ham_apply(jnp.asarray(v, dtype=sv.default_cdtype()),
-                           hx, hz, ha, hc)
-        return sv.to_host(out)
+        planes = jnp.asarray(sv.complex_to_planes(np.asarray(v).ravel()))
+        return sv.to_host(sv.ham_apply(planes, *hargs))
 
     dim = 1 << n
     if dim <= 64:
@@ -67,13 +66,11 @@ def exact_ground_state(hamiltonian_sp: PauliSum, max_qubits: int = 24
 
 
 def _fidelity(psi, ground: Optional[np.ndarray]) -> float:
-    """|<ground|psi>|^2 computed on device (psi stays a device array; complex
-    D2H is unavailable on the axon TPU backend)."""
+    """|<ground|psi>|^2; psi is a split-real plane state (host transfer of
+    real planes is always safe)."""
     if ground is None:
         return float("nan")
-    g = jnp.asarray(ground, dtype=psi.dtype)
-    ov = jnp.vdot(g, psi)
-    return float(jnp.real(ov) ** 2 + jnp.imag(ov) ** 2)
+    return float(np.abs(np.vdot(ground, sv.to_host(psi))) ** 2)
 
 
 def _screen(grad_fn, psi) -> np.ndarray:

@@ -1,20 +1,34 @@
-"""Single-device JAX statevector engine.
+"""Single-device JAX statevector engine — split-real representation.
 
 The differentiable statevector core that unifies the reference's two state
 representations (myQLM circuit jobs + scipy sparse `expm_multiply` chains —
-SURVEY.md §0) into one jittable engine:
+SURVEY.md §0) into one jittable engine.
 
-* Pauli-string application by index XOR + popcount sign (no matrices)
-* exact single-term rotations exp(i a sigma) = cos a + i sin a * sigma
-* Trotter-1 ansatz application as a `lax.scan` over compiled term arrays
+TPU-native design choice: the state is stored as TWO REAL PLANES
+``psi[2, 2^n]`` (psi[0]=Re, psi[1]=Im) and every complex multiplication is
+written out in real arithmetic.  Rationale:
+
+* the axon TPU backend's complex lowering is unreliable (complex D2H is
+  UNIMPLEMENTED and several fused complex ops fail depending on lowering),
+* TPUs have no complex ALU anyway — XLA emulates complex via real pairs,
+  so explicit planes cost nothing and open the door to Pallas kernels
+  (Mosaic has no complex support at all),
+* host transfers of real planes always work.
+
+Engine features:
+
+* Pauli application by index XOR + popcount sign (no operator matrices)
+* exact rotations exp(i a sigma) = cos a + i sin a * sigma
+* Trotter-1 ansatz application as `lax.scan` over compiled term arrays
 * <psi|H|psi> and H|psi> over compiled Pauli sums
-* reversible adjoint-mode gradient (O(1) state memory — re-walks the
-  circuit backwards instead of storing per-step residuals), exposed through
-  `jax.custom_vjp` so `jax.grad(energy)` works and replaces the reference's
-  finite-difference BFGS oracle (get_energy_ucc.py:158-175)
+* reversible adjoint-mode gradients (O(1) state memory: the backward pass
+  un-applies rotations instead of storing residuals), replacing the
+  reference's finite-difference BFGS oracle (get_energy_ucc.py:158-175)
+* dynamic-ansatz variants taking padded term arrays as ARGUMENTS so ADAPT
+  loops and experiment sweeps reuse one compiled executable
 
-Dtype policy: complex128 under x64 (CPU tests / parity checks), complex64 on
-TPU for speed (set via ``default_cdtype``).
+Complex Pauli-term coefficients enter as separate (re, im) coefficient
+vectors; kappa = (-i)^nY is folded per term the same way.
 """
 
 from __future__ import annotations
@@ -30,199 +44,302 @@ from .compile import CompiledOpSequence, CompiledPauliSum
 
 
 def default_cdtype():
+    """Logical complex dtype (host-side); device planes use the matching
+    real dtype."""
     return jnp.complex128 if jax.config.read("jax_enable_x64") else jnp.complex64
+
+
+def default_rdtype():
+    return np.float64 if jax.config.read("jax_enable_x64") else np.float32
 
 
 # ------------------------------------------------------------- state setup
 
 def hf_state(n: int, hf_init: int, dtype=None) -> np.ndarray:
-    """|hf_init> one-hot statevector; hf_init bits use qubit0 = MSB
-    (reference from_ket_to_vector, molecule_factory.py:494-499).
-
-    Returned as a HOST numpy array: jitted closures capture it as a constant,
-    and host constants avoid the complex-D2H path the axon TPU backend lacks.
-    """
-    dtype = dtype or default_cdtype()
-    np_c = np.complex128 if dtype == jnp.complex128 else np.complex64
-    psi = np.zeros(1 << n, dtype=np_c)
-    psi[hf_init] = 1.0
+    """|hf_init> as split-real planes (2, 2^n); hf_init bits use qubit0 = MSB
+    (reference from_ket_to_vector, molecule_factory.py:494-499).  Host numpy
+    so jitted closures embed it as a constant."""
+    rd = default_rdtype() if dtype is None else (
+        np.float64 if dtype == jnp.complex128 else np.float32)
+    psi = np.zeros((2, 1 << n), dtype=rd)
+    psi[0, hf_init] = 1.0
     return psi
+
+
+def complex_to_planes(vec: np.ndarray) -> np.ndarray:
+    rd = default_rdtype()
+    return np.stack([np.real(vec), np.imag(vec)]).astype(rd)
+
+
+def planes_to_complex(planes) -> np.ndarray:
+    arr = np.asarray(planes, dtype=np.float64)
+    return arr[0] + 1j * arr[1]
+
+
+def to_host(psi) -> np.ndarray:
+    """Device planes -> host complex vector (real-only transfers)."""
+    return planes_to_complex(np.asarray(psi))
 
 
 def _indices(dim: int) -> jnp.ndarray:
     return jax.lax.iota(jnp.int32, dim)
 
 
+def norm(psi) -> jnp.ndarray:
+    return jnp.sqrt(jnp.sum(psi * psi))
+
+
 # --------------------------------------------------------- pauli primitives
 
-def pauli_apply_single(psi: jnp.ndarray, x: jnp.ndarray, z: jnp.ndarray,
-                       kappa: jnp.ndarray) -> jnp.ndarray:
-    """sigma|psi> for one compiled Pauli string (masks are traced scalars)."""
-    idx = _indices(psi.shape[0])
-    sgn = 1.0 - 2.0 * (jax.lax.population_count(idx & z) & 1).astype(jnp.float32)
-    return (kappa * sgn.astype(psi.dtype)) * psi[idx ^ x]
+def _signed_gather(psi, x, z):
+    """s(j) * psi[j ^ x] on both planes; s(j) = (-1)^popcount(j & z)."""
+    idx = _indices(psi.shape[1])
+    sgn = (1.0 - 2.0 * (jax.lax.population_count(idx & z) & 1)).astype(psi.dtype)
+    return sgn[None, :] * psi[:, idx ^ x]
 
 
-def pauli_rotation(psi: jnp.ndarray, angle: jnp.ndarray, x: jnp.ndarray,
-                   z: jnp.ndarray, kappa: jnp.ndarray) -> jnp.ndarray:
-    """exp(i * angle * sigma) |psi> (exact: sigma^2 = I)."""
-    return (jnp.cos(angle) * psi
-            + (1j * jnp.sin(angle)) * pauli_apply_single(psi, x, z, kappa))
+def _cmul_planes(t, c_re, c_im):
+    """(c_re + i c_im) * t for planes t."""
+    return jnp.stack([c_re * t[0] - c_im * t[1],
+                      c_re * t[1] + c_im * t[0]])
+
+
+def pauli_apply_single(psi, x, z, k_re, k_im):
+    """kappa * sigma0 |psi> for one compiled Pauli string (masks traced
+    scalars; kappa = (-i)^nY given as its real/imag parts)."""
+    return _cmul_planes(_signed_gather(psi, x, z), k_re, k_im)
+
+
+def pauli_rotation(psi, angle, x, z, k_re, k_im):
+    """exp(i * angle * kappa-sigma) |psi> (exact: (kappa sigma)^2 = I for
+    Hermitian terms)."""
+    sp = pauli_apply_single(psi, x, z, k_re, k_im)
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    # cos(a) psi + i sin(a) (sigma psi):  i*(x+iy) = (-y, x)
+    return jnp.stack([c * psi[0] - s * sp[1],
+                      c * psi[1] + s * sp[0]])
+
+
+def _unrotate_with(psi, sp, angle):
+    """R^dagger psi given sigma|psi> already computed."""
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    return jnp.stack([c * psi[0] + s * sp[1],
+                      c * psi[1] - s * sp[0]])
 
 
 # ----------------------------------------------------------- ansatz apply
 
-def apply_ops(psi: jnp.ndarray, theta: jnp.ndarray, x: jnp.ndarray,
-              z: jnp.ndarray, kappa: jnp.ndarray, w: jnp.ndarray,
-              op_index: jnp.ndarray, reverse: bool = False,
-              sign: float = 1.0) -> jnp.ndarray:
-    """Apply prod_t exp(i sign * theta[op(t)] w_t sigma_t) via scan.
-    ``reverse=True`` walks the sequence backwards (used by the adjoint pass
-    and exact un-computation)."""
-    def step(p, term):
-        xt, zt, kt, wt, ot = term
-        angle = sign * theta[ot] * wt
-        return pauli_rotation(p, angle, xt, zt, kt), None
+def apply_ops(psi, theta, x, z, k_re, k_im, w, op_index, reverse: bool = False,
+              sign: float = 1.0):
+    """Apply prod_t exp(i sign * theta[op(t)] w_t sigma_t) via scan."""
+    psi = jnp.asarray(psi)
 
-    terms = (x, z, kappa, jnp.real(w), op_index)
-    out, _ = jax.lax.scan(step, psi, terms, reverse=reverse)
+    def step(p, term):
+        xt, zt, kr, ki, wt, ot = term
+        angle = sign * theta[ot] * wt
+        return pauli_rotation(p, angle, xt, zt, kr, ki), None
+
+    out, _ = jax.lax.scan(step, psi, (x, z, k_re, k_im, w, op_index),
+                          reverse=reverse)
     return out
 
 
 # ------------------------------------------------------------- expectation
 
-def ham_apply(psi: jnp.ndarray, x: jnp.ndarray, z: jnp.ndarray,
-              a: jnp.ndarray, const: jnp.ndarray) -> jnp.ndarray:
-    """H|psi> = const*psi + sum_k a_k sigma0_k|psi> where sigma0 is the bare
-    (kappa-free) index-space action; a = w * kappa folds everything in."""
-    idx = _indices(psi.shape[0])
+def ham_apply(psi, x, z, a_re, a_im, c_re, c_im):
+    """H|psi> = const*psi + sum_k a_k sigma0_k|psi> (a = w * kappa folded)."""
+    psi = jnp.asarray(psi)
 
     def step(acc, term):
-        xt, zt, at = term
-        sgn = 1.0 - 2.0 * (jax.lax.population_count(idx & zt) & 1).astype(jnp.float32)
-        return acc + (at * sgn.astype(psi.dtype)) * psi[idx ^ xt], None
+        xt, zt, ar, ai = term
+        t = _signed_gather(psi, xt, zt)
+        return acc + _cmul_planes(t, ar, ai), None
 
-    acc0 = const * psi
-    out, _ = jax.lax.scan(step, acc0, (x, z, a))
+    acc0 = _cmul_planes(psi, c_re, c_im)
+    out, _ = jax.lax.scan(step, acc0, (x, z, a_re, a_im))
     return out
 
 
-def expectation(psi: jnp.ndarray, x: jnp.ndarray, z: jnp.ndarray,
-                a: jnp.ndarray, const: jnp.ndarray) -> jnp.ndarray:
-    """<psi|H|psi> (real part)."""
-    idx = _indices(psi.shape[0])
+def expectation(psi, x, z, a_re, a_im, c_re, c_im):
+    """Re <psi|H|psi>."""
+    psi = jnp.asarray(psi)
 
     def step(acc, term):
-        xt, zt, at = term
-        sgn = 1.0 - 2.0 * (jax.lax.population_count(idx & zt) & 1).astype(jnp.float32)
-        val = jnp.vdot(psi, sgn.astype(psi.dtype) * psi[idx ^ xt])
-        return acc + at * val, None
+        xt, zt, ar, ai = term
+        t = _signed_gather(psi, xt, zt)
+        # Re <psi| (ar + i ai) |t> = ar*Re<psi|t> - ai*Im<psi|t>
+        re_ov = jnp.sum(psi[0] * t[0] + psi[1] * t[1])
+        im_ov = jnp.sum(psi[0] * t[1] - psi[1] * t[0])
+        return acc + ar * re_ov - ai * im_ov, None
 
-    tot, _ = jax.lax.scan(step, jnp.asarray(0.0, psi.dtype) + const, (x, z, a))
-    return jnp.real(tot)
+    # accumulate the Pauli terms from zero and add the (often large) identity
+    # offset at the end — keeps f32 accumulation away from catastrophic
+    # cancellation against e.g. the -3683 Ha constant of the battery app
+    zero = jnp.zeros((), dtype=psi.dtype)
+    tot, _ = jax.lax.scan(step, zero, (x, z, a_re, a_im))
+    return tot + c_re * jnp.sum(psi * psi)
+
+
+def overlap_re_im(bra, ket):
+    """(Re, Im) of <bra|ket> for plane states."""
+    re = jnp.sum(bra[0] * ket[0] + bra[1] * ket[1])
+    im = jnp.sum(bra[0] * ket[1] - bra[1] * ket[0])
+    return re, im
 
 
 # ------------------------------------------------- energy with adjoint grad
 
+def _adjoint_sweep(theta, psi, lam, x, z, k_re, k_im, w, op_index):
+    """Shared reverse sweep: walks the rotation sequence backwards from
+    (psi_K, lam_K) and accumulates dE/dtheta."""
+    def step(carry, term):
+        p, l, grad = carry
+        xt, zt, kr, ki, wt, ot = term
+        angle = theta[ot] * wt
+        sp = pauli_apply_single(p, xt, zt, kr, ki)
+        # g_t = -2 Im <lam | sigma psi> * w
+        _, im_ov = overlap_re_im(l, sp)
+        gt = -2.0 * im_ov * wt
+        p_prev = _unrotate_with(p, sp, angle)
+        l_prev = pauli_rotation(l, -angle, xt, zt, kr, ki)
+        grad = grad.at[ot].add(gt)
+        return (p_prev, l_prev, grad), None
+
+    grad0 = jnp.zeros_like(theta)
+    (_, _, grad), _ = jax.lax.scan(
+        step, (psi, lam, grad0), (x, z, k_re, k_im, w, op_index), reverse=True)
+    return grad
+
+
 def build_energy_fn(psi0, seq: CompiledOpSequence, ham: CompiledPauliSum,
                     cdtype=None):
-    """Return jitted ``energy(theta)`` with a reversible adjoint-mode custom
-    VJP (O(1) state memory: the backward pass un-applies rotations instead of
-    storing per-step residuals — the key TPU memory design choice vs. naive
-    autodiff through the scan)."""
-    cdtype = cdtype or default_cdtype()
-    sx, sz, sk, sw, sop = seq_as_device(seq, cdtype)
-    hx, hz, ha, hconst = as_device(ham, cdtype)
+    """(jitted energy(theta), jitted forward(theta)) with a reversible
+    adjoint custom VJP — O(1) state memory."""
+    sx, sz, skr, ski, sw, sop = seq_as_device(seq, cdtype)
+    hx, hz, har, hai, hcr, hci = as_device(ham, cdtype)
+    psi0 = np.asarray(psi0)
 
     def _forward(theta):
-        return apply_ops(psi0, theta, sx, sz, sk, sw, sop)
+        return apply_ops(psi0, theta, sx, sz, skr, ski, sw, sop)
 
     @jax.custom_vjp
     def energy(theta):
-        return expectation(_forward(theta), hx, hz, ha, hconst)
+        return expectation(_forward(theta), hx, hz, har, hai, hcr, hci)
 
     def fwd(theta):
         psi = _forward(theta)
-        e = expectation(psi, hx, hz, ha, hconst)
-        return e, (theta, psi)
+        return expectation(psi, hx, hz, har, hai, hcr, hci), (theta, psi)
 
     def bwd(res, g):
         theta, psi = res
-        lam = ham_apply(psi, hx, hz, ha, hconst)
-
-        # Reverse walk.  At step t the carry holds (psi_t, lam_t) — the state
-        # and adjoint *after* rotation t.  The gradient of a_t = theta*w_t is
-        #   dE/da_t = -2 Im <lam_t | sigma_t | psi_t>
-        # then both vectors are un-rotated to level t-1.
-        def step(carry, term):
-            p, l, grad = carry
-            xt, zt, kt, wt, ot = term
-            wr = jnp.real(wt)
-            angle = theta[ot] * wr
-            sig_p = pauli_apply_single(p, xt, zt, kt)
-            gt = -2.0 * jnp.imag(jnp.vdot(l, sig_p)) * wr
-            # un-rotate using the already-computed sigma|psi>:
-            # R^dagger psi = cos(a) psi - i sin(a) sigma psi
-            c, s = jnp.cos(angle), jnp.sin(angle)
-            p_prev = c * p - (1j * s) * sig_p
-            l_prev = pauli_rotation(l, -angle, xt, zt, kt)
-            grad = grad.at[ot].add(gt)
-            return (p_prev, l_prev, grad), None
-
-        grad0 = jnp.zeros_like(theta)
-        (_, _, grad), _ = jax.lax.scan(step, (psi, lam, grad0),
-                                       (sx, sz, sk, sw, sop), reverse=True)
+        lam = ham_apply(psi, hx, hz, har, hai, hcr, hci)
+        grad = _adjoint_sweep(theta, psi, lam, sx, sz, skr, ski, sw, sop)
         return (grad * g,)
 
     energy.defvjp(fwd, bwd)
     return jax.jit(energy), jax.jit(_forward)
 
 
+# ----------------------------------------------- dynamic-ansatz energy+grad
+
+def build_dynamic_energy_fn(ham: CompiledPauliSum, cdtype=None):
+    """Jitted (energy, energy_and_grad) with the ROTATION SEQUENCE AS
+    ARGUMENTS (padded, dynamic data): one compilation serves every ansatz
+    whose padded term count matches — ADAPT outer loops and experiment
+    sweeps reuse the same executable.  Padding terms carry w=0/op_index=0:
+    zero rotation, zero gradient."""
+    hx, hz, har, hai, hcr, hci = as_device(ham, cdtype)
+
+    @jax.jit
+    def energy(theta, psi0, sx, sz, skr, ski, sw, sop):
+        psi = apply_ops(psi0, theta, sx, sz, skr, ski, sw, sop)
+        return expectation(psi, hx, hz, har, hai, hcr, hci)
+
+    @jax.jit
+    def energy_and_grad(theta, psi0, sx, sz, skr, ski, sw, sop):
+        psi = apply_ops(psi0, theta, sx, sz, skr, ski, sw, sop)
+        e = expectation(psi, hx, hz, har, hai, hcr, hci)
+        lam = ham_apply(psi, hx, hz, har, hai, hcr, hci)
+        grad = _adjoint_sweep(theta, psi, lam, sx, sz, skr, ski, sw, sop)
+        return e, grad
+
+    return energy, energy_and_grad
+
+
+def pad_sequence(seq: CompiledOpSequence, k_pad: int,
+                 n_ops_pad: int | None = None) -> CompiledOpSequence:
+    """Pad flat term arrays to k_pad so differently-sized ansaetze share one
+    jit executable (identity terms: masks 0, w 0, op_index 0)."""
+    k = seq.n_terms
+    if k_pad < k:
+        raise ValueError(f"k_pad={k_pad} < n_terms={k}")
+    pad = k_pad - k
+    return CompiledOpSequence(
+        n=seq.n,
+        x=np.pad(seq.x, (0, pad)),
+        z=np.pad(seq.z, (0, pad)),
+        kappa=np.pad(seq.kappa, (0, pad), constant_values=1.0),
+        w=np.pad(seq.w, (0, pad)),
+        op_index=np.pad(seq.op_index, (0, pad)),
+        n_ops=n_ops_pad if n_ops_pad is not None else seq.n_ops,
+    )
+
+
+def bucket_size(k: int, minimum: int = 8) -> int:
+    b = minimum
+    while b < k:
+        b *= 2
+    return b
+
+
 # -------------------------------------------------- batched ADAPT screening
 
-def pool_overlaps(psi: jnp.ndarray, sigma: jnp.ndarray, x: jnp.ndarray,
-                  z: jnp.ndarray, a: jnp.ndarray, op_index: jnp.ndarray,
-                  n_ops: int) -> jnp.ndarray:
-    """v_i = <sigma| A_i |psi> for every pool operator in ONE fused pass.
+def pool_overlaps(psi, sigma, x, z, a_re, a_im, op_index, n_ops: int):
+    """(Re, Im) of v_i = <sigma| A_i |psi> for every pool operator in ONE
+    fused pass — replaces the reference's per-operator sparse-matvec loops
+    (adapt/fermionic_adapt_vqe.py:110-122, adapt/qubit_adapt_vqe.py:462-470,
+    which even rebuilds per-op 2^n CSR matrices every outer iteration)."""
+    psi = jnp.asarray(psi)
+    sigma = jnp.asarray(sigma)
 
-    Replaces the reference's per-operator sparse-matvec screening loops
-    (adapt/fermionic_adapt_vqe.py:110-122, adapt/qubit_adapt_vqe.py:462-470
-    — the latter even rebuilds each operator's 2^n CSR matrix every outer
-    iteration).  Fermionic ADAPT uses g_i = 2*Re(v_i); qubit ADAPT uses
-    g_i = 2*|Re part of <bra H A psi>| (reference qubit_adapt_vqe.py:126-150).
-    """
-    idx = _indices(psi.shape[0])
+    def step2(acc, term):
+        xt, zt, ar, ai, ot = term
+        t = _signed_gather(psi, xt, zt)
+        re_ov, im_ov = overlap_re_im(sigma, t)
+        acc_re, acc_im = acc
+        acc_re = acc_re.at[ot].add(ar * re_ov - ai * im_ov)
+        acc_im = acc_im.at[ot].add(ar * im_ov + ai * re_ov)
+        return (acc_re, acc_im), None
 
-    def step(acc, term):
-        xt, zt, at, ot = term
-        sgn = 1.0 - 2.0 * (jax.lax.population_count(idx & zt) & 1).astype(jnp.float32)
-        val = at * jnp.vdot(sigma, sgn.astype(psi.dtype) * psi[idx ^ xt])
-        return acc.at[ot].add(val), None
-
-    acc0 = jnp.zeros(n_ops, dtype=psi.dtype)
-    out, _ = jax.lax.scan(step, acc0, (x, z, a, op_index))
-    return out
+    z0 = jnp.zeros(n_ops, dtype=psi.dtype)
+    (vre, vim), _ = jax.lax.scan(step2, (z0, z0), (x, z, a_re, a_im, op_index))
+    return vre, vim
 
 
 def build_pool_gradient_fn(seq: CompiledOpSequence, ham: CompiledPauliSum,
                            cdtype=None):
-    """jitted (psi -> complex overlaps v_i) for a fixed pool + Hamiltonian."""
-    cdtype = cdtype or default_cdtype()
-    px, pz, pk, pw, pop = seq_as_device(seq, cdtype)
-    pa = pw * pk
-    hx, hz, ha, hconst = as_device(ham, cdtype)
+    """host-complex overlaps v_i = <H psi|A_i psi> for a fixed pool +
+    Hamiltonian (two jitted programs; results cross to host as real pairs)."""
+    px, pz, pkr, pki, pw, pop = seq_as_device(seq, cdtype)
+    rd = default_rdtype()
+    wk = (seq.w * seq.kappa)
+    pa_re = np.real(wk).astype(rd)
+    pa_im = np.imag(wk).astype(rd)
+    hx, hz, har, hai, hcr, hci = as_device(ham, cdtype)
     n_ops = seq.n_ops
 
     @jax.jit
-    def grads(psi):
-        sigma = ham_apply(psi, hx, hz, ha, hconst)
-        v = pool_overlaps(psi, sigma, px, pz, pa, pop, n_ops)
-        # stacked (re, im) so the result can cross to host on backends
-        # without complex D2H support
-        return jnp.stack([jnp.real(v), jnp.imag(v)])
+    def _sigma(psi):
+        return ham_apply(psi, hx, hz, har, hai, hcr, hci)
+
+    @jax.jit
+    def _overlaps(psi, sigma):
+        vre, vim = pool_overlaps(psi, sigma, px, pz, pa_re, pa_im, pop, n_ops)
+        return jnp.stack([vre, vim])
 
     def grads_host(psi) -> np.ndarray:
-        out = np.asarray(grads(psi))
+        psi = jnp.asarray(psi)
+        out = np.asarray(_overlaps(psi, _sigma(psi)), dtype=np.float64)
         return out[0] + 1j * out[1]
 
     return grads_host
@@ -230,72 +347,68 @@ def build_pool_gradient_fn(seq: CompiledOpSequence, ham: CompiledPauliSum,
 
 # -------------------------------------------------------------- gate layer
 
-def apply_x(psi: jnp.ndarray, q: int, n: int) -> jnp.ndarray:
-    idx = _indices(psi.shape[0])
-    return psi[idx ^ (1 << (n - 1 - q))]
+def apply_x(psi, q: int, n: int):
+    idx = _indices(psi.shape[1])
+    return psi[:, idx ^ (1 << (n - 1 - q))]
+
+
+def _single_qubit_rotation(psi, theta, q: int, n: int, pauli: str):
+    mask = 1 << (n - 1 - q)
+    if pauli == "X":
+        x, z, kr, ki = mask, 0, 1.0, 0.0
+    elif pauli == "Y":
+        x, z, kr, ki = mask, mask, 0.0, -1.0   # kappa = -i
+    else:  # Z
+        x, z, kr, ki = 0, mask, 1.0, 0.0
+    return pauli_rotation(psi, -theta / 2.0, jnp.int32(x), jnp.int32(z),
+                          jnp.asarray(kr, psi.dtype), jnp.asarray(ki, psi.dtype))
 
 
 def apply_rx(psi, theta, q: int, n: int):
-    mask = 1 << (n - 1 - q)
-    return pauli_rotation(psi, -theta / 2.0, jnp.int32(mask), jnp.int32(0),
-                          jnp.asarray(1.0, psi.dtype))
+    return _single_qubit_rotation(psi, theta, q, n, "X")
 
 
 def apply_ry(psi, theta, q: int, n: int):
-    mask = 1 << (n - 1 - q)
-    # Y: x-mask and z-mask both set; kappa = -i
-    return pauli_rotation(psi, -theta / 2.0, jnp.int32(mask), jnp.int32(mask),
-                          jnp.asarray(-1j, psi.dtype))
+    return _single_qubit_rotation(psi, theta, q, n, "Y")
 
 
 def apply_rz(psi, theta, q: int, n: int):
-    mask = 1 << (n - 1 - q)
-    return pauli_rotation(psi, -theta / 2.0, jnp.int32(0), jnp.int32(mask),
-                          jnp.asarray(1.0, psi.dtype))
+    return _single_qubit_rotation(psi, theta, q, n, "Z")
 
 
 def apply_h(psi, q: int, n: int):
     mask = 1 << (n - 1 - q)
-    idx = _indices(psi.shape[0])
-    bit = (idx & mask) != 0
-    flipped = psi[idx ^ mask]
+    idx = _indices(psi.shape[1])
+    bit = ((idx & mask) != 0)[None, :]
+    flipped = psi[:, idx ^ mask]
     s = jnp.asarray(1.0 / np.sqrt(2.0), psi.dtype)
     return s * jnp.where(bit, flipped - psi, psi + flipped)
 
 
 def apply_cnot(psi, control: int, target: int, n: int):
-    idx = _indices(psi.shape[0])
+    idx = _indices(psi.shape[1])
     cmask = 1 << (n - 1 - control)
     tmask = 1 << (n - 1 - target)
     src = jnp.where((idx & cmask) != 0, idx ^ tmask, idx)
-    return psi[src]
+    return psi[:, src]
 
 
 # ------------------------------------------------------------ host wrappers
 #
-# Operator arrays are kept as HOST numpy arrays and closed over by jitted
-# functions (embedded as constants at trace time).  This matters on the axon
-# TPU backend: device->host transfer of complex arrays is UNIMPLEMENTED
-# there, and capturing a *device* complex array as a jit constant triggers
-# exactly such a transfer during lowering.  Host->device works fine.
+# Operator arrays are HOST numpy arrays closed over by jitted functions
+# (embedded as constants at trace time); everything is real-typed.
 
 def as_device(csum: CompiledPauliSum, cdtype=None):
-    cdtype = cdtype or default_cdtype()
-    np_c = np.complex128 if cdtype == jnp.complex128 else np.complex64
-    return (csum.x, csum.z, csum.coeffs().astype(np_c),
-            np.asarray(csum.const, dtype=np_c))
+    rd = default_rdtype()
+    a = csum.coeffs()
+    return (csum.x, csum.z,
+            np.real(a).astype(rd), np.imag(a).astype(rd),
+            np.asarray(np.real(csum.const), dtype=rd),
+            np.asarray(np.imag(csum.const), dtype=rd))
 
 
 def seq_as_device(seq: CompiledOpSequence, cdtype=None):
-    cdtype = cdtype or default_cdtype()
-    np_c = np.complex128 if cdtype == jnp.complex128 else np.complex64
-    return (seq.x, seq.z, seq.kappa.astype(np_c), seq.w.astype(np_c),
-            seq.op_index)
-
-
-def to_host(psi: jnp.ndarray) -> np.ndarray:
-    """Complex statevector -> host numpy via separate real/imag transfers
-    (complex D2H is unimplemented on the axon TPU backend)."""
-    re = np.asarray(jnp.real(psi), dtype=np.float64)
-    im = np.asarray(jnp.imag(psi), dtype=np.float64)
-    return re + 1j * im
+    rd = default_rdtype()
+    return (seq.x, seq.z,
+            np.real(seq.kappa).astype(rd), np.imag(seq.kappa).astype(rd),
+            np.real(seq.w).astype(rd), seq.op_index)

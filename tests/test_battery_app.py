@@ -1,0 +1,68 @@
+"""Quantum-battery application tests against the reference's recorded
+experiment accuracy (BASELINE.md / logs)."""
+
+import numpy as np
+import pytest
+
+from openvqe_tpu.apps.quantum_batteries.adapt import (
+    AdaptContext,
+    excitations,
+    run_cs_adapt,
+    run_cs_adapt_experiment,
+)
+from openvqe_tpu.apps.quantum_batteries.cs_vqe import run_cs_vqe
+from openvqe_tpu.apps.quantum_batteries.rotoselect import run_rotoselect
+from openvqe_tpu.apps.quantum_batteries.utils import (
+    CCSD_ENERGY,
+    load_cs_hams,
+    rel_err,
+)
+
+
+def test_load_cs_hams():
+    hams = load_cs_hams()
+    assert sorted(hams) == [2, 3, 4, 5, 6, 7, 8]
+    ham8, hf8 = hams[8]
+    assert ham8.nbqbits == 8 and hf8 == "11111100"
+    assert len(ham8) + 1 == 440  # 439 Pauli strings + identity folded out
+    assert ham8.is_hermitian()
+
+
+def test_excitations_counts():
+    # reference run prints "Total number of excitations = 3" for 7q/6e
+    s, d = excitations(6, 7)
+    assert len(s) + len(d) == 3
+    s, d = excitations(6, 8)
+    assert len(s) + len(d) == 15
+
+
+def test_cs_adapt_matches_reference_accuracy():
+    res = run_cs_adapt(num_iterations=2, qubit_counts=(7, 8), verbose=False)
+    # reference: 3.073e-05 (7q), 3.077e-05 (8q)
+    assert res["mean_rel_errs"][0] < 6e-5
+    assert res["mean_rel_errs"][1] < 6e-5
+
+
+def test_cs_adapt_parameter_shift_agrees():
+    hams = load_cs_hams()
+    ham, hf = hams[7]
+    ctx = AdaptContext(ham, hf)
+    rng = np.random.RandomState(0)
+    e_analytic = run_cs_adapt_experiment(ctx, rng=np.random.RandomState(0))
+    e_shift = run_cs_adapt_experiment(ctx, rng=np.random.RandomState(0),
+                                      use_parameter_shift=True)
+    assert abs(e_analytic - e_shift) < 1e-4
+
+
+def test_cs_vqe_small():
+    res = run_cs_vqe(layers=(4,), num_iterations=2, qubit_counts=(2, 6),
+                     verbose=False)
+    # reference logs/cs_vqe.txt: 6.2e-4 (2q), 3.6e-5 best (6q)
+    assert res["mean_rel_errs"][4][0] < 1e-3
+    assert res["mean_rel_errs"][4][1] < 1e-4
+
+
+def test_rotoselect_small():
+    res = run_rotoselect(num_iterations=1, n_steps=10, qubit_counts=(2,),
+                         verbose=False)
+    assert res["mean_rel_errs"][0] < 1e-3

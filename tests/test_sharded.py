@@ -25,7 +25,12 @@ def h4_problem():
     cluster_ops, theta0, hf_init = get_cluster_ops_and_init_guess(
         md.n_elec, [0] * 8, eps_full, hpqrs)
     gens = [transform_operator(op, "JW") * 1j for op in cluster_ops]
-    return hsp, gens, hf_init, md
+    # keep the sharded-ansatz compile small: the rotation sequence is
+    # unrolled inside shard_map (static ppermute schedule per term), so the
+    # test uses a subset of the UCCSD pool — 4 singles + 4 doubles (doubles
+    # carry the nonzero HF gradients; the full pool is exercised by the
+    # single-device engine tests)
+    return hsp, gens[:4] + gens[-4:], hf_init, md
 
 
 def test_mesh_has_8_devices():
@@ -39,12 +44,13 @@ def test_sharded_ham_apply_matches_single(h4_problem):
     rng = np.random.default_rng(0)
     psi = rng.normal(size=1 << 8) + 1j * rng.normal(size=1 << 8)
     psi /= np.linalg.norm(psi)
-    out_sharded = np.asarray(ham_apply(jnp.asarray(psi)))
+    planes = jnp.asarray(sv.complex_to_planes(psi))
+    out_sharded = sv.to_host(ham_apply(planes))
     c = compile_pauli_sum(hsp, 8)
-    out_single = np.asarray(sv.ham_apply(jnp.asarray(psi), *sv.as_device(c)))
+    out_single = sv.to_host(sv.ham_apply(planes, *sv.as_device(c)))
     assert np.allclose(out_sharded, out_single, atol=1e-10)
-    e_sharded = float(energy(jnp.asarray(psi)))
-    e_single = float(sv.expectation(jnp.asarray(psi), *sv.as_device(c)))
+    e_sharded = float(energy(planes))
+    e_single = float(sv.expectation(planes, *sv.as_device(c)))
     assert np.isclose(e_sharded, e_single, atol=1e-10)
 
 
@@ -56,8 +62,7 @@ def test_sharded_energy_and_adjoint_grad_match_single(h4_problem):
 
     seq = compile_op_sequence(gens, 8)
     ham = compile_pauli_sum(hsp, 8)
-    psi0 = sv.hf_state(8, hf_init)
-    energy1, _ = sv.build_energy_fn(jnp.asarray(psi0), seq, ham)
+    energy1, _ = sv.build_energy_fn(sv.hf_state(8, hf_init), seq, ham)
     g1 = jax.jit(jax.grad(energy1))
 
     theta = jnp.asarray(np.random.default_rng(1).normal(size=len(gens)) * 0.05)
@@ -86,5 +91,5 @@ def test_sharded_vqe_step_descends(h4_problem):
 def test_sharded_hf_state_layout():
     mesh = sh.make_mesh(8)
     psi = sh.sharded_hf_state(8, 0b11110000, mesh)
-    host = np.asarray(psi)
+    host = sv.to_host(psi)
     assert host[0b11110000] == 1.0 and np.count_nonzero(host) == 1
