@@ -31,7 +31,9 @@ import scipy.sparse.linalg as spla
 from ..ops.pauli import PauliSum
 from ..sim import statevector as sv
 from ..sim.compile import compile_pauli_sum, compile_pool
+from ..utils.checkpoint import AdaptState, load_checkpoint, save_checkpoint
 from ..utils.gate_count import staircase_gate_counts
+from ..utils.run_logger import RunLogger
 from ..utils.sorted_gradient import (
     abs_sort_desc,
     corresponding_index,
@@ -99,12 +101,19 @@ def fermionic_adapt_vqe(
     max_external_iterations: int = 35,
     fidelity_max_qubits: int = 20,
     verbose: bool = True,
+    checkpoint_path: Optional[str] = None,
+    log_path: Optional[str] = None,
 ) -> Tuple[Dict, Dict]:
     """Fermionic ADAPT-VQE (reference fermionic_adapt_vqe.py:371-593).
 
     ``cluster_ops_sp`` are the anti-Hermitian JW images of the pool; selected
     ops enter the ansatz as 1j * A (reference :551-556) with theta0 = 0.01.
     Gradient screen: g_i = 2 Re <psi|H A_i|psi> (reference :41-74).
+
+    With ``checkpoint_path`` each outer iteration persists (op indices,
+    parameters, metrics) and an interrupted run resumes where it stopped —
+    the reference restarts from scratch (SURVEY.md §5).  ``log_path`` writes
+    per-iteration JSONL records.
     """
     if type_conver != "norm":
         raise ValueError("type convergence is not defined")
@@ -127,13 +136,31 @@ def fermionic_adapt_vqe(
         print(" The reference energy of the molecular system is: %12.8f"
               % ref_energy)
 
+    logger = RunLogger(log_path)
     ansatz_gens: List[PauliSum] = []
     op_indices: List[int] = []
     parameters_ansatz: List[float] = []
     prev_norm = 0.0
     last_energy = ref_energy
+    start_iter = 0
 
-    for n_iter in range(max_external_iterations):
+    ck = load_checkpoint(checkpoint_path) if checkpoint_path else None
+    if ck is not None:
+        op_indices = list(ck.op_indices)
+        parameters_ansatz = list(ck.parameters)
+        ansatz_gens = [cluster_ops_sp[i] * 1j for i in op_indices]
+        prev_norm = ck.prev_norm
+        last_energy = ck.last_energy
+        iterations = {k: list(v) for k, v in ck.iterations.items()}
+        start_iter = ck.n_iter + 1
+        if ansatz_gens:
+            _, _, fwd = build_vqe_objective(hamiltonian_sp, ansatz_gens,
+                                            hf_init_sp)
+            psi = fwd(jnp.asarray(parameters_ansatz))
+        if verbose:
+            print(f" Resumed from checkpoint at iteration {start_iter}")
+
+    for n_iter in range(start_iter, max_external_iterations):
         if verbose:
             print("\n Fermionic_ADAPT-VQE iteration: ", n_iter)
         v = _screen(grad_fn, psi)
@@ -197,6 +224,14 @@ def fermionic_adapt_vqe(
         iterations["Hadamard"].append(counts["H"])
         iterations["RY"].append(counts["RY"])
         iterations["RX"].append(counts["RX"])
+        logger.log({"iteration": n_iter, "energy": last_energy,
+                    "norm": curr_norm, "fidelity": fid,
+                    "n_ops": len(ansatz_gens), "CNOTs": counts["CNOT"]})
+        if checkpoint_path:
+            save_checkpoint(checkpoint_path, AdaptState(
+                n_iter=n_iter, op_indices=op_indices,
+                parameters=parameters_ansatz, prev_norm=prev_norm,
+                last_energy=last_energy, iterations=iterations))
     return iterations, result
 
 

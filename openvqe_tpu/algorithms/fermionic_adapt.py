@@ -48,6 +48,8 @@ class FermionicAdapt(Algorithm):
             type_conver=self.opts["type_conver"],
             threshold_needed=self.opts["threshold_needed"],
             max_external_iterations=self.opts["max_external_iterations"],
+            checkpoint_path=self.opts.get("checkpoint_path"),
+            log_path=self.opts.get("log_path"),
         )
         print("iterations are:", iterations)
         print("results are:", result)
