@@ -98,9 +98,17 @@ def compute_molecule(geometry, basis: str, spin: int = 0, charge: int = 0,
                      n_roots: int = 1) -> MolecularData:
     """Full host-side chemistry pipeline (setup-time; numpy/C++)."""
     shells, charges, coords = build_shells(geometry, basis)
-    S, T = ints.overlap_kinetic(shells)
-    V = ints.nuclear_attraction(shells, charges, coords)
-    eri = ints.electron_repulsion(shells)
+    from .. import native
+    if native.available():
+        # C++ McMurchie-Davidson engine (openvqe_tpu/native/eri.cpp) — same
+        # algorithm, cross-checked against the numpy path in tests; ~200x
+        # faster on the larger molecules of the table
+        S, T, V = native.one_electron(shells, charges, coords)
+        eri = native.eri(shells)
+    else:
+        S, T = ints.overlap_kinetic(shells)
+        V = ints.nuclear_attraction(shells, charges, coords)
+        eri = ints.electron_repulsion(shells)
     e_nuc = ints.nuclear_repulsion(charges, coords)
     n_elec = int(sum(charges)) - charge
     if spin != 0:
