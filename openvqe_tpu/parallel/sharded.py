@@ -219,7 +219,7 @@ def build_sharded_energy_fn(hamiltonian_sp: PauliSum,
 
     def _rot(p, coord, term, theta, sign=1.0):
         xh, xl, zh, zl, kr, ki, w, op = term
-        angle = sign * theta[op] * w
+        angle = -sign * theta[op] * w   # exp(-i theta G) convention
         sp = _sigma_apply(p, coord, xh, xl, zh, zl, kr, ki)
         c, s = jnp.cos(angle), jnp.sin(angle)
         return jnp.stack([c * p[0] - s * sp[1], c * p[1] + s * sp[0]])
@@ -255,8 +255,8 @@ def build_sharded_energy_fn(hamiltonian_sp: PauliSum,
             # g = -2 Im <lam|sigma p> * w ; Im<a|b> = a_re.b_im - a_im.b_re
             im_ov = jax.lax.psum(
                 jnp.sum(lam[0] * sp[1] - lam[1] * sp[0]), AXIS)
-            gt = -2.0 * im_ov * w
-            angle = theta[op] * w
+            gt = 2.0 * im_ov * w
+            angle = -theta[op] * w
             c, s = jnp.cos(angle), jnp.sin(angle)
             p = jnp.stack([c * p[0] + s * sp[1], c * p[1] - s * sp[0]])
             lam = _rot(lam, coord, term, theta, sign=-1.0)

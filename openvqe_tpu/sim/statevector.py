@@ -131,12 +131,18 @@ def _unrotate_with(psi, sp, angle):
 
 def apply_ops(psi, theta, x, z, k_re, k_im, w, op_index, reverse: bool = False,
               sign: float = 1.0):
-    """Apply prod_t exp(i sign * theta[op(t)] w_t sigma_t) via scan."""
+    """Apply prod_t exp(-i sign * theta[op(t)] w_t sigma_t) via scan.
+
+    Evolution convention: exp(-i theta G) for a Hermitian generator
+    G = i(T - T†), i.e. exp(theta (T - T†)) — matching the reference's
+    sparse path expm_multiply(theta A) (fermionic_adapt_vqe.py:12-38) and
+    its circuit path, so MP2 initial parameters land on the correct side
+    of HF."""
     psi = jnp.asarray(psi)
 
     def step(p, term):
         xt, zt, kr, ki, wt, ot = term
-        angle = sign * theta[ot] * wt
+        angle = -sign * theta[ot] * wt
         return pauli_rotation(p, angle, xt, zt, kr, ki), None
 
     out, _ = jax.lax.scan(step, psi, (x, z, k_re, k_im, w, op_index),
@@ -195,11 +201,12 @@ def _adjoint_sweep(theta, psi, lam, x, z, k_re, k_im, w, op_index):
     def step(carry, term):
         p, l, grad = carry
         xt, zt, kr, ki, wt, ot = term
-        angle = theta[ot] * wt
+        angle = -theta[ot] * wt      # forward rotation angle (see apply_ops)
         sp = pauli_apply_single(p, xt, zt, kr, ki)
-        # g_t = -2 Im <lam | sigma psi> * w
+        # E depends on the rotation angle a via dE/da = -2 Im <lam|sigma psi>;
+        # with a = -theta*w the theta-gradient is +2 Im <lam|sigma psi> * w
         _, im_ov = overlap_re_im(l, sp)
-        gt = -2.0 * im_ov * wt
+        gt = 2.0 * im_ov * wt
         p_prev = _unrotate_with(p, sp, angle)
         l_prev = pauli_rotation(l, -angle, xt, zt, kr, ki)
         grad = grad.at[ot].add(gt)
