@@ -20,6 +20,12 @@ BASELINE_REL_ERR = 3.077e-05      # logs/adapt.txt:9-15
 
 
 def main():
+    import jax
+    # persistent compile cache: repeat bench runs (and anything else on this
+    # machine) skip the expensive axon remote compiles
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ovqe_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from openvqe_tpu.apps.quantum_batteries.adapt import run_cs_adapt
 
     res = run_cs_adapt(num_iterations=20, qubit_counts=(8,),
