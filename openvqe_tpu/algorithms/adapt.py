@@ -247,6 +247,8 @@ def qubit_adapt_vqe(
     tolerance_sim: float = 1e-7,
     method_sim: str = "BFGS",
     verbose: bool = True,
+    checkpoint_path: Optional[str] = None,
+    log_path: Optional[str] = None,
 ) -> Tuple[Dict, Dict, Dict, Dict]:
     """Qubit ADAPT-VQE (reference qubit_adapt_vqe.py:310-605).
 
@@ -282,13 +284,31 @@ def qubit_adapt_vqe(
     if verbose:
         print("reference_energy:", ref_energy)
 
+    logger = RunLogger(log_path)
     ansatz_gens: List[PauliSum] = []
     op_indices: List[int] = []
     parameters_sim: List[float] = []
     prev_norm = 0.0
     last_energy = ref_energy
+    start_iter = 0
 
-    for n_iter in range(adapt_maxiter):
+    ck = load_checkpoint(checkpoint_path) if checkpoint_path else None
+    if ck is not None:
+        op_indices = list(ck.op_indices)
+        parameters_sim = list(ck.parameters)
+        ansatz_gens = [pool_mix[i] for i in op_indices]
+        prev_norm = ck.prev_norm
+        last_energy = ck.last_energy
+        iterations_sim = {k: list(v) for k, v in ck.iterations.items()}
+        start_iter = ck.n_iter + 1
+        if ansatz_gens:
+            _, _, fwd = build_vqe_objective(hamiltonian_sp, ansatz_gens,
+                                            hf_init_sp)
+            psi = fwd(jnp.asarray(parameters_sim))
+        if verbose:
+            print(f" Resumed from checkpoint at iteration {start_iter}")
+
+    for n_iter in range(start_iter, adapt_maxiter):
         if verbose:
             print("\n Qubit ADAPT-VQE iteration: ", n_iter)
         v = _screen(grad_fn, psi)
@@ -344,4 +364,11 @@ def qubit_adapt_vqe(
         iterations_sim["Hadamard"].append(counts["H"])
         iterations_sim["RY"].append(counts["RY"])
         iterations_sim["RX"].append(counts["RX"])
+        logger.log({"iteration": n_iter, "energy": last_energy,
+                    "norm": curr_norm, "n_ops": len(ansatz_gens)})
+        if checkpoint_path:
+            save_checkpoint(checkpoint_path, AdaptState(
+                n_iter=n_iter, op_indices=op_indices,
+                parameters=parameters_sim, prev_norm=prev_norm,
+                last_energy=last_energy, iterations=iterations_sim))
     return iterations_sim, iterations_ana, result_sim, result_ana

@@ -62,6 +62,8 @@ class QubitAdapt(Algorithm):
             adapt_maxiter=self.opts["max_external_iterations"],
             tolerance_sim=self.opts["tolerance"],
             method_sim=self.opts["optimizer"],
+            checkpoint_path=self.opts.get("checkpoint_path"),
+            log_path=self.opts.get("log_path"),
         )
         print("iterations are:", iterations_sim)
         print("results are:", result_sim)

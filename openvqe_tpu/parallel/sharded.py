@@ -39,7 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.pauli import PauliSum
 from ..sim.compile import CompiledOpSequence, CompiledPauliSum, compile_pauli_sum
-from ..sim.statevector import default_rdtype
+from ..sim.statevector import _use_mxu_xor, _xor_permute, default_rdtype
 
 AXIS = "q"
 SPEC = P(None, AXIS)   # planes dim replicated, amplitude dim sharded
@@ -116,9 +116,15 @@ def _parity_sign(v, dtype):
 
 
 def _signed_gather_local(block, coord, x_lo, z_hi, z_lo, L):
+    """Local signed-XOR application; the global part of the sign is a scalar
+    from the device coordinate.  On accelerators the local XOR+sign goes
+    through the MXU permutation-matmul path (XLA TPU gathers are serial);
+    CPU keeps the plain gather."""
+    g = _parity_sign(coord & z_hi, block.dtype)
+    if _use_mxu_xor():
+        return g * _xor_permute(block, x_lo, z_lo)
     idx = _local_indices(L)
-    s = (_parity_sign(idx & z_lo, block.dtype)
-         * _parity_sign(coord & z_hi, block.dtype))
+    s = g * _parity_sign(idx & z_lo, block.dtype)
     return s[None, :] * block[:, idx ^ x_lo]
 
 
