@@ -40,6 +40,7 @@ from ..utils.sorted_gradient import (
     index_without_0,
     value_without_0,
 )
+from ..sim.objective import VQEObjective
 from .energy_ucc import build_vqe_objective
 
 
@@ -125,6 +126,10 @@ def fermionic_adapt_vqe(
     n = hamiltonian_sp.nbqbits
     pool = compile_pool(cluster_ops_sp, n)
     grad_fn = sv.build_pool_gradient_fn(pool, compile_pauli_sum(hamiltonian_sp, n))
+    # shape-bucketed dynamic objective: ansatz growth re-binds data instead
+    # of recompiling (the static path would pay one XLA compile per outer
+    # iteration — minutes each on the TPU remote-compile path)
+    objective = VQEObjective(hamiltonian_sp, n)
 
     ground = exact_ground_state(hamiltonian_sp, fidelity_max_qubits)
     ground_vec = ground[1] if ground is not None else None
@@ -154,9 +159,8 @@ def fermionic_adapt_vqe(
         iterations = {k: list(v) for k, v in ck.iterations.items()}
         start_iter = ck.n_iter + 1
         if ansatz_gens:
-            _, _, fwd = build_vqe_objective(hamiltonian_sp, ansatz_gens,
-                                            hf_init_sp)
-            psi = fwd(jnp.asarray(parameters_ansatz))
+            psi = objective.bind(ansatz_gens, hf_init_sp).forward(
+                parameters_ansatz)
         if verbose:
             print(f" Resumed from checkpoint at iteration {start_iter}")
 
@@ -197,20 +201,20 @@ def fermionic_adapt_vqe(
             ansatz_gens.append(cluster_ops_sp[sorted_idx[j]] * 1j)
             op_indices.append(sorted_idx[j])
 
-        energy, grad, forward = build_vqe_objective(hamiltonian_sp,
-                                                    ansatz_gens, hf_init_sp)
-        jac = (lambda t: np.asarray(grad(jnp.asarray(t)), dtype=float)) \
-            if optimizer not in ("COBYLA", "Nelder-Mead", "Powell") else None
+        bound = objective.bind(ansatz_gens, hf_init_sp)
+        if optimizer in ("COBYLA", "Nelder-Mead", "Powell"):
+            fun, jac = bound.energy, None
+        else:
+            fun, jac = bound.scipy_fun_jac()
         opt_result = scipy.optimize.minimize(
-            lambda t: float(energy(jnp.asarray(t))),
-            x0=np.asarray(parameters_ansatz, dtype=float),
+            fun, x0=np.asarray(parameters_ansatz, dtype=float),
             method=optimizer, tol=tolerance, jac=jac,
             options={"maxiter": 100000, "disp": False})
         parameters_ansatz = list(map(float, opt_result.x))
         last_energy = float(opt_result.fun)
         if verbose:
             print(" Finished energy iteration_i: %20.12f" % last_energy)
-        psi = forward(jnp.asarray(parameters_ansatz))  # stays on device
+        psi = bound.forward(parameters_ansatz)  # stays on device
         prev_norm = curr_norm
 
         counts = staircase_gate_counts(ansatz_gens, hf_init_sp)
@@ -277,6 +281,7 @@ def qubit_adapt_vqe(
     n = hamiltonian_sp.nbqbits
     pool = compile_pool(pool_mix, n)
     grad_fn = sv.build_pool_gradient_fn(pool, compile_pauli_sum(hamiltonian_sp, n))
+    objective = VQEObjective(hamiltonian_sp, n)
 
     psi = sv.hf_state(n, hf_init_sp)
     ref_energy = float(sv.expectation(
@@ -302,9 +307,8 @@ def qubit_adapt_vqe(
         iterations_sim = {k: list(v) for k, v in ck.iterations.items()}
         start_iter = ck.n_iter + 1
         if ansatz_gens:
-            _, _, fwd = build_vqe_objective(hamiltonian_sp, ansatz_gens,
-                                            hf_init_sp)
-            psi = fwd(jnp.asarray(parameters_sim))
+            psi = objective.bind(ansatz_gens, hf_init_sp).forward(
+                parameters_sim)
         if verbose:
             print(f" Resumed from checkpoint at iteration {start_iter}")
 
@@ -338,20 +342,20 @@ def qubit_adapt_vqe(
             ansatz_gens.append(pool_mix[sorted_idx[m]])
             op_indices.append(sorted_idx[m])
 
-        energy, grad, forward = build_vqe_objective(hamiltonian_sp,
-                                                    ansatz_gens, hf_init_sp)
-        jac = (lambda t: np.asarray(grad(jnp.asarray(t)), dtype=float)) \
-            if method_sim not in ("COBYLA", "Nelder-Mead", "Powell") else None
+        bound = objective.bind(ansatz_gens, hf_init_sp)
+        if method_sim in ("COBYLA", "Nelder-Mead", "Powell"):
+            fun, jac = bound.energy, None
+        else:
+            fun, jac = bound.scipy_fun_jac()
         opt = scipy.optimize.minimize(
-            lambda t: float(energy(jnp.asarray(t))),
-            x0=np.asarray(parameters_sim, dtype=float),
+            fun, x0=np.asarray(parameters_sim, dtype=float),
             method=method_sim, tol=tolerance_sim, jac=jac,
             options={"maxiter": 100000, "disp": False})
         parameters_sim = list(map(float, opt.x))
         last_energy = float(opt.fun)
         if verbose:
             print(" Energy reached from the simulator: %20.12f" % last_energy)
-        psi = forward(jnp.asarray(parameters_sim))  # stays on device
+        psi = bound.forward(parameters_sim)  # stays on device
         prev_norm = curr_norm
 
         counts = staircase_gate_counts(ansatz_gens, hf_init_sp)
