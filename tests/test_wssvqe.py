@@ -30,7 +30,8 @@ def test_eigenvector_reference():
 
 
 def test_wssvqe_tfim_two_states():
-    out = WSSVQE(model="ising", nqbits=4, n_states=2, depth=3).execute()
+    out = WSSVQE(model="ising", nqbits=4, n_states=2, depth=3,
+                 opts={"tol": 1e-5, "maxiter": 250}).execute()
     exact = out["exact_eigenvalues"]
     # variational upper bounds, ordered, and close to the exact spectrum
     assert out["final_energies"][0] >= exact[0] - 1e-9
@@ -40,7 +41,8 @@ def test_wssvqe_tfim_two_states():
 
 
 def test_wssvqe_molecule_model():
-    out = WSSVQE(model="H2", n_states=2, depth=4).execute()
+    out = WSSVQE(model="H2", n_states=2, depth=4,
+                 opts={"tol": 1e-6, "maxiter": 400}).execute()
     exact = out["exact_eigenvalues"]
     assert abs(out["final_energies"][0] - exact[0]) < 1e-4
     assert abs(out["final_energies"][1] - exact[1]) < 1e-3
