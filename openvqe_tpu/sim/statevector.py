@@ -120,6 +120,43 @@ def _bit_groups(n_bits: int):
     return groups  # [lsb group, ..., msb group]
 
 
+def _xor_permute_hybrid(psi, x, z=None):
+    """Alternative formulation: lane-group XOR as one signed permutation
+    matmul, row-bit XORs as conditional flips.  More array passes than the
+    group-matmul path (kept for reference/experiments; not auto-selected)."""
+    N = psi.shape[-1]
+    n_bits = N.bit_length() - 1
+    lane_bits = min(n_bits, _LANE_BITS)
+    row_bits = n_bits - lane_bits
+    lanes = 1 << lane_bits
+
+    t = psi.reshape((2,) + (2,) * row_bits + (lanes,))
+    for r in range(row_bits):
+        bit = (x >> (n_bits - 1 - r)) & 1
+        t = jnp.where(bit.astype(bool), jnp.flip(t, axis=r + 1), t)
+    t = t.reshape(2, N // lanes, lanes)
+    li = jax.lax.iota(jnp.int32, lanes)
+    P = ((li[:, None] ^ li[None, :]) == (x & (lanes - 1))).astype(psi.dtype)
+    if z is not None:
+        zg = z & (lanes - 1)
+        sgn = (1.0 - 2.0 * (jax.lax.population_count(li & zg) & 1)
+               ).astype(psi.dtype)
+        P = P * sgn[None, :]
+    out = jax.lax.dot_general(t, P, (((2,), (0,)), ((), ())),
+                              preferred_element_type=psi.dtype,
+                              precision=jax.lax.Precision.HIGHEST)
+    out = out.reshape(2, N)
+    if z is not None and row_bits > 0:
+        # row part of the sign (lane part folded into P above)
+        idx_rows = jax.lax.iota(jnp.int32, N // lanes)
+        z_rows = z >> lane_bits
+        sgn_rows = (1.0 - 2.0 * (jax.lax.population_count(idx_rows & z_rows)
+                                 & 1)).astype(psi.dtype)
+        out = (out.reshape(2, N // lanes, lanes)
+               * sgn_rows[None, :, None]).reshape(2, N)
+    return out
+
+
 def _xor_permute(psi, x, z=None):
     """s_z(j) * psi[..., j ^ x] over the flat amplitude axis, gather-free:
     the XOR is applied one bit-group at a time as a (2^g x 2^g) signed
