@@ -25,12 +25,24 @@ from .compile import compile_op_sequence, compile_pauli_sum
 class VQEObjective:
 
     def __init__(self, hamiltonian_sp: PauliSum, n: Optional[int] = None,
-                 cdtype=None):
+                 cdtype=None, segmented: Optional[bool] = None):
         self.n = n if n is not None else hamiltonian_sp.nbqbits
         self.cdtype = cdtype or sv.default_cdtype()
         self.ham = compile_pauli_sum(hamiltonian_sp, self.n)
-        self._energy, self._energy_and_grad = sv.build_dynamic_energy_fn(
-            self.ham, self.cdtype)
+        if segmented is None:
+            # the axon backend kills device calls past ~10 s: switch to
+            # host-segmented execution when one full H pass would blow the
+            # per-call work budget
+            segmented = (self.ham.n_terms * float(1 << self.n)
+                         > sv._CALL_WORK_BUDGET)
+        self.segmented = bool(segmented)
+        if self.segmented:
+            (self._seg_energy, self._seg_energy_and_grad,
+             self._seg_forward) = sv.build_segmented_energy_fn(self.ham,
+                                                               self.cdtype)
+        else:
+            self._energy, self._energy_and_grad = sv.build_dynamic_energy_fn(
+                self.ham, self.cdtype)
         self._psi0_cache: Dict[int, np.ndarray] = {}
 
     def _psi0(self, hf_init: int) -> np.ndarray:
@@ -42,9 +54,9 @@ class VQEObjective:
     def bind(self, generators: Sequence[PauliSum], hf_init: int):
         """Returns a BoundAnsatz for this generator list."""
         seq = compile_op_sequence(generators, self.n)
-        k_pad = sv.bucket_size(max(seq.n_terms, 1))
-        padded = sv.pad_sequence(seq, k_pad)
-        args = sv.seq_as_device(padded, self.cdtype)
+        if not self.segmented:
+            seq = sv.pad_sequence(seq, sv.bucket_size(max(seq.n_terms, 1)))
+        args = sv.seq_as_device(seq, self.cdtype)
         return BoundAnsatz(self, args, self._psi0(hf_init), len(generators))
 
 
@@ -57,16 +69,25 @@ class BoundAnsatz:
         self.n_ops = n_ops
 
     def energy(self, theta) -> float:
+        if self._obj.segmented:
+            return float(self._obj._seg_energy(theta, self._psi0,
+                                               self._seq_args))
         return float(self._obj._energy(jnp.asarray(theta, dtype=float),
                                        self._psi0, *self._seq_args))
 
     def energy_and_grad(self, theta) -> Tuple[float, np.ndarray]:
+        if self._obj.segmented:
+            e, g = self._obj._seg_energy_and_grad(theta, self._psi0,
+                                                  self._seq_args)
+            return float(e), np.asarray(g, dtype=float)
         e, g = self._obj._energy_and_grad(jnp.asarray(theta, dtype=float),
                                           self._psi0, *self._seq_args)
         return float(e), np.asarray(g, dtype=float)
 
     def forward(self, theta):
         """Final statevector planes (device array, shape (2, 2^n))."""
+        if self._obj.segmented:
+            return self._obj._seg_forward(theta, self._psi0, self._seq_args)
         return _forward(jnp.asarray(theta, dtype=float),
                         jnp.asarray(self._psi0), *self._seq_args)
 

@@ -402,6 +402,141 @@ def bucket_size(k: int, minimum: int = 8) -> int:
     return b
 
 
+# ------------------------------------------------------ segmented execution
+#
+# The axon backend enforces a per-device-call execution budget (calls much
+# past ~10 s kill the worker).  For large statevectors the Hamiltonian and
+# ansatz term scans are therefore SEGMENTED: fixed-shape jitted pieces are
+# called repeatedly from the host, carrying (psi / lambda / grad) device
+# arrays between calls.  Segment shapes are padded so every segment reuses
+# one executable.
+
+# work budget per device call, in (terms x amplitudes) units; an H10-scale
+# call (3e10) measured ~8 s on v5e — stay a factor ~2 under that
+_CALL_WORK_BUDGET = 1.6e10
+
+
+def segment_size(n: int, minimum: int = 256) -> int:
+    """Terms per device call for an n-qubit state."""
+    k = int(_CALL_WORK_BUDGET / float(1 << n))
+    k = max(k, minimum)
+    return 1 << (k.bit_length() - 1)  # round down to a power of two
+
+
+def build_segmented_energy_fn(ham: CompiledPauliSum, cdtype=None,
+                              seg: int | None = None):
+    """Segmented (energy, energy_and_grad) for large n: same math as
+    build_dynamic_energy_fn, executed as a host loop over fixed-shape jitted
+    segment programs."""
+    n = ham.n
+    K = ham.n_terms
+    if seg is None:
+        # cap by the actual term count: no point padding past one segment
+        seg = min(segment_size(n), bucket_size(max(K, 1)))
+    rd = default_rdtype()
+
+    # pad the Hamiltonian into (n_seg, seg) blocks (zero-coefficient padding)
+    n_seg = max(1, -(-K // seg))
+    pad = n_seg * seg - K
+    a = ham.coeffs()
+    hx = np.pad(ham.x, (0, pad)).reshape(n_seg, seg)
+    hz = np.pad(ham.z, (0, pad)).reshape(n_seg, seg)
+    har = np.pad(np.real(a).astype(rd), (0, pad)).reshape(n_seg, seg)
+    hai = np.pad(np.imag(a).astype(rd), (0, pad)).reshape(n_seg, seg)
+    c_re = np.asarray(np.real(ham.const), dtype=rd)
+
+    @jax.jit
+    def _expect_seg(psi, acc, x, z, ar, ai):
+        def step(a_, term):
+            xt, zt, art, ait = term
+            t = _signed_gather(psi, xt, zt)
+            re_ov = jnp.sum(psi[0] * t[0] + psi[1] * t[1])
+            im_ov = jnp.sum(psi[0] * t[1] - psi[1] * t[0])
+            return a_ + art * re_ov - ait * im_ov, None
+        out, _ = jax.lax.scan(step, acc, (x, z, ar, ai))
+        return out
+
+    @jax.jit
+    def _ham_seg(psi, acc, x, z, ar, ai):
+        def step(a_, term):
+            xt, zt, art, ait = term
+            t = _signed_gather(psi, xt, zt)
+            return a_ + _cmul_planes(t, art, ait), None
+        out, _ = jax.lax.scan(step, acc, (x, z, ar, ai))
+        return out
+
+    @jax.jit
+    def _apply_seg(psi, theta, x, z, kr, ki, w, op):
+        return apply_ops(psi, theta, x, z, kr, ki, w, op)
+
+    @jax.jit
+    def _adjoint_seg(theta, p, l, grad, x, z, kr, ki, w, op):
+        def step(carry, term):
+            p_, l_, g_ = carry
+            xt, zt, krt, kit, wt, ot = term
+            angle = -theta[ot] * wt
+            sp = pauli_apply_single(p_, xt, zt, krt, kit)
+            _, im_ov = overlap_re_im(l_, sp)
+            gt = 2.0 * im_ov * wt
+            p_prev = _unrotate_with(p_, sp, angle)
+            l_prev = pauli_rotation(l_, -angle, xt, zt, krt, kit)
+            return (p_prev, l_prev, g_.at[ot].add(gt)), None
+        (p, l, grad), _ = jax.lax.scan(step, (p, l, grad),
+                                       (x, z, kr, ki, w, op), reverse=True)
+        return p, l, grad
+
+    def _seq_segments(seq_args):
+        sx, sz, skr, ski, sw, sop = seq_args
+        Kq = len(sx)
+        ns = max(1, -(-Kq // seg))
+        padq = ns * seg - Kq
+        return (np.pad(sx, (0, padq)).reshape(ns, seg),
+                np.pad(sz, (0, padq)).reshape(ns, seg),
+                np.pad(skr, (0, padq), constant_values=1.0).reshape(ns, seg),
+                np.pad(ski, (0, padq)).reshape(ns, seg),
+                np.pad(sw, (0, padq)).reshape(ns, seg),
+                np.pad(sop, (0, padq)).reshape(ns, seg))
+
+    def forward(theta, psi0, seq_args):
+        segs = _seq_segments(seq_args)
+        psi = jnp.asarray(psi0)
+        theta = jnp.asarray(theta, dtype=float)
+        for i in range(segs[0].shape[0]):
+            psi = _apply_seg(psi, theta, *(s[i] for s in segs))
+        return psi
+
+    def _expectation(psi):
+        acc = jnp.zeros((), dtype=psi.dtype)
+        for i in range(n_seg):
+            acc = _expect_seg(psi, acc, hx[i], hz[i], har[i], hai[i])
+        return float(acc) + float(c_re) * float(jnp.sum(psi * psi))
+
+    def _lham(psi):
+        acc = _cmul_planes(psi, jnp.asarray(c_re, psi.dtype),
+                           jnp.asarray(0.0, psi.dtype))
+        for i in range(n_seg):
+            acc = _ham_seg(psi, acc, hx[i], hz[i], har[i], hai[i])
+        return acc
+
+    def energy(theta, psi0, seq_args):
+        return _expectation(forward(theta, psi0, seq_args))
+
+    def energy_and_grad(theta, psi0, seq_args):
+        theta = jnp.asarray(theta, dtype=float)
+        psi = forward(theta, psi0, seq_args)
+        e = _expectation(psi)
+        lam = _lham(psi)
+        segs = _seq_segments(seq_args)
+        grad = jnp.zeros(theta.shape, dtype=default_rdtype())
+        p, l = psi, lam
+        for i in reversed(range(segs[0].shape[0])):
+            p, l, grad = _adjoint_seg(theta, p, l, grad,
+                                      *(s[i] for s in segs))
+        return e, np.asarray(grad, dtype=float)
+
+    return energy, energy_and_grad, forward
+
+
 # -------------------------------------------------- batched ADAPT screening
 
 def pool_overlaps(psi, sigma, x, z, a_re, a_im, op_index, n_ops: int):
