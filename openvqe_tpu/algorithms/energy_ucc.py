@@ -20,21 +20,19 @@ import scipy.optimize
 
 from ..ops.pauli import PauliSum
 from ..sim import statevector as sv
-from ..sim.compile import compile_op_sequence, compile_pauli_sum
+from ..sim.objective import VQEObjective
 from ..utils.gate_count import staircase_gate_counts
 
 
 def build_vqe_objective(hamiltonian_sp: PauliSum,
                         generators: Sequence[PauliSum],
                         hf_init_sp: int):
-    """(energy_fn, grad_fn, forward_fn) for prod exp(i theta_k G_k)|HF>."""
-    n = hamiltonian_sp.nbqbits
-    seq = compile_op_sequence(generators, n)
-    ham = compile_pauli_sum(hamiltonian_sp, n)
-    psi0 = sv.hf_state(n, hf_init_sp)
-    energy, forward = sv.build_energy_fn(psi0, seq, ham)
-    grad = jax.jit(jax.grad(energy))
-    return energy, grad, forward
+    """(energy_fn, grad_fn, forward_fn) for prod exp(i theta_k G_k)|HF>,
+    on the grouped engine (one permute + one sign-field matmul per
+    excitation — sim/grouped.py)."""
+    bound = VQEObjective(hamiltonian_sp).bind(generators, hf_init_sp)
+    return (bound.energy, lambda t: bound.energy_and_grad(t)[1],
+            bound.forward)
 
 
 class EnergyUCC:
@@ -61,17 +59,16 @@ class EnergyUCC:
 
     def _minimize(self, hamiltonian_sp, generators, hf_init_sp, theta0,
                   method: str, tolerance: float, energies: List[float]):
-        energy, grad, _ = build_vqe_objective(hamiltonian_sp, generators,
-                                              hf_init_sp)
+        bound = VQEObjective(hamiltonian_sp).bind(generators, hf_init_sp)
+        if method in ("COBYLA", "Nelder-Mead", "Powell"):
+            jac = None
 
-        def fun(t):
-            val = float(energy(jnp.asarray(t)))
-            energies.append(val)
-            return val
-
-        jac = None
-        if method not in ("COBYLA", "Nelder-Mead", "Powell"):
-            jac = lambda t: np.asarray(grad(jnp.asarray(t)), dtype=float)
+            def fun(t):
+                val = bound.energy(t)
+                energies.append(val)
+                return val
+        else:
+            fun, jac = bound.scipy_fun_jac(energies)
         return scipy.optimize.minimize(
             fun, x0=np.asarray(theta0, dtype=float), method=method,
             tol=tolerance, jac=jac, options={"maxiter": 50000, "disp": False})

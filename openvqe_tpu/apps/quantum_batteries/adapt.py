@@ -26,6 +26,7 @@ import scipy.optimize
 
 from ...optim.minimize import lbfgs_minimize
 from ...ops.pauli import PauliSum
+from ...sim import grouped as gr
 from ...sim import statevector as sv
 from ...sim.compile import compile_op_sequence, compile_pauli_sum, compile_pool
 from ...sim.objective import VQEObjective
@@ -86,12 +87,12 @@ class AdaptContext:
                          for w in self.doubles]
         self.sgl_gens = [single_excitation_generator(w, self.n)
                          for w in self.singles]
-        cham = compile_pauli_sum(ham, self.n)
-        self._dbl_screen = (sv.build_pool_gradient_fn(
-            compile_pool(self.dbl_gens, self.n), cham)
+        gham = self.objective.gham
+        self._dbl_screen = (gr.build_grouped_pool_gradient_fn(
+            gr.group_pool(compile_pool(self.dbl_gens, self.n)), gham)
             if self.dbl_gens else None)
-        self._sgl_screen = sv.build_pool_gradient_fn(
-            compile_pool(self.sgl_gens, self.n), cham)
+        self._sgl_screen = gr.build_grouped_pool_gradient_fn(
+            gr.group_pool(compile_pool(self.sgl_gens, self.n)), gham)
 
     def screen_doubles(self, psi) -> np.ndarray:
         return -2.0 * np.imag(self._dbl_screen(jnp.asarray(psi)))

@@ -1,0 +1,734 @@
+"""X-mask-grouped statevector kernels — the batched fast path.
+
+Every Pauli term acts as ``a_k * s_{z_k}(j) * psi[j ^ x_k]``.  Terms sharing
+the same index-XOR mask ``x`` therefore share the expensive part (the
+permutation); only the cheap diagonal sign ``s_z`` differs.  Under JW all 8
+Pauli strings of a double excitation (and both strings of a single) carry the
+SAME x-mask — X and Y differ only in z-bits — so molecular workloads group
+~8:1 for free.
+
+The per-group trick: split the amplitude index at the TPU lane boundary,
+``j = (j_hi << 7) | j_lo``.  The sign factorizes,
+``s_z(j) = s_hi(j_hi) * s_lo(j_lo)``, so any sign-weighted sum over the K
+terms of a group is RANK-K:
+
+    W(j) = sum_k c_k s_{z_k}(j)  =  [S_hi  diag(c)  S_lo](j_hi, j_lo)
+
+— ONE (R x K) @ (K x 128) matmul on the MXU instead of K full passes over
+the state.  Three kernels build on that field:
+
+* expectation:  E_g = sum_j W(j) * Re[conj(psi_j) psi_{j^x}]
+* H|psi>:       acc += W (.) permute_x(psi)
+* rotations:    for odd-Y groups (every UCCSD / qubit-pool generator) each
+  term is a REAL rotation by ``b_t(j) = -theta w_t q_t s_t(j)`` in the
+  invariant plane {j, j^x} (q_t = Re(i kappa_t) = +-1); same-axis rotations
+  compose ADDITIVELY, so the whole group is one rotation by the angle field
+  ``B(j) = -theta * Phi(j)``, ``Phi = sum_t w_t q_t s_t`` — one permute, one
+  matmul, one cos/sin pass for the whole excitation.
+
+Replaces the per-term scan of ``statevector.apply_ops`` (one HBM pass per
+Pauli string) on the hot paths; reference hot loop analog:
+get_energy_ucc.py:158-175, fermionic_adapt_vqe.py:110-122.  Everything here
+is scan-over-groups with dynamic masks: ONE compiled executable regardless
+of term count, reusable across ADAPT growth via padding.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .compile import CompiledOpSequence, CompiledPauliSum
+from .statevector import (
+    _LANE_BITS,
+    _indices,
+    _use_mxu_xor,
+    _xor_permute,
+    default_rdtype,
+)
+
+_TOL = 1e-11
+
+
+# --------------------------------------------------------------- structures
+
+@dataclass
+class GroupedPauliSum:
+    """H = const + diag(x=0 terms) + sum_g sum_k a_gk s_{z_gk} X_{x_g}."""
+    n: int
+    z_diag: np.ndarray    # (Kd,) int32
+    a_diag_re: np.ndarray
+    a_diag_im: np.ndarray
+    x: np.ndarray         # (G,) int32 — off-diagonal group masks
+    z: np.ndarray         # (G, K) int32, zero-padded
+    a_re: np.ndarray      # (G, K), zero-padded
+    a_im: np.ndarray
+    c_re: float
+    c_im: float
+    n_terms: int
+    hermitian: bool       # True -> all a_im == 0, imaginary paths skipped
+
+    @property
+    def n_groups(self) -> int:
+        return len(self.x)
+
+
+@dataclass
+class GroupedOpSequence:
+    """prod_g Rot(B_g) with B_g(j) = -theta[op_g] * sum_k s_gk sign_{z_gk}(j);
+    groups are consecutive same-x odd-Y runs of the original term order, so
+    the Trotter product is IDENTICAL to the per-term path (same-x odd-Y
+    terms commute exactly)."""
+    n: int
+    x: np.ndarray    # (G,)
+    z: np.ndarray    # (G, K)
+    s: np.ndarray    # (G, K) real: w_t * Re(i kappa_t), zero-padded
+    op: np.ndarray   # (G,) int32
+    n_ops: int
+    n_terms: int
+
+    @property
+    def n_groups(self) -> int:
+        return len(self.x)
+
+
+@dataclass
+class GroupedPool:
+    """Pool operators grouped by (op, x) for batched ADAPT screening;
+    coefficients are the full complex a = w * kappa."""
+    n: int
+    x: np.ndarray
+    z: np.ndarray
+    a_re: np.ndarray
+    a_im: np.ndarray
+    op: np.ndarray
+    n_ops: int
+
+
+def _pow2ceil(k: int, minimum: int = 1) -> int:
+    b = max(minimum, 1)
+    while b < k:
+        b *= 2
+    return b
+
+
+def _pad_rows(rows: List[np.ndarray], K: int, dtype) -> np.ndarray:
+    out = np.zeros((len(rows), K), dtype=dtype)
+    for i, r in enumerate(rows):
+        out[i, : len(r)] = r
+    return out
+
+
+def group_pauli_sum(c: CompiledPauliSum, k_cap: int = 64) -> GroupedPauliSum:
+    """Group a compiled Pauli sum by x-mask; the x=0 (diagonal) terms are
+    split out (no permutation needed at all) and off-diagonal groups larger
+    than ``k_cap`` are chunked (the sum is order-free)."""
+    rd = default_rdtype()
+    a = c.coeffs()
+    diag = c.x == 0
+    z_diag = c.z[diag].astype(np.int32)
+    a_diag = a[diag]
+
+    order: List[int] = []
+    seen = {}
+    for i in np.nonzero(~diag)[0]:
+        xv = int(c.x[i])
+        if xv not in seen:
+            seen[xv] = len(order)
+            order.append(xv)
+    groups: List[List[int]] = [[] for _ in order]
+    for i in np.nonzero(~diag)[0]:
+        groups[seen[int(c.x[i])]].append(i)
+
+    xs: List[int] = []
+    zr: List[np.ndarray] = []
+    ar: List[np.ndarray] = []
+    ai: List[np.ndarray] = []
+    max_k = 1
+    for gi, xv in enumerate(order):
+        idx = groups[gi]
+        for s0 in range(0, len(idx), k_cap):
+            chunk = idx[s0 : s0 + k_cap]
+            xs.append(xv)
+            zr.append(c.z[chunk].astype(np.int32))
+            ar.append(np.real(a[chunk]).astype(rd))
+            ai.append(np.imag(a[chunk]).astype(rd))
+            max_k = max(max_k, len(chunk))
+    K = _pow2ceil(max_k)
+    hermitian = bool(
+        np.max(np.abs(np.imag(a)), initial=0.0) < _TOL
+        and abs(np.imag(c.const)) < _TOL
+    )
+    return GroupedPauliSum(
+        n=c.n,
+        z_diag=z_diag,
+        a_diag_re=np.real(a_diag).astype(rd),
+        a_diag_im=np.imag(a_diag).astype(rd),
+        x=np.asarray(xs, dtype=np.int32),
+        z=_pad_rows(zr, K, np.int32),
+        a_re=_pad_rows(ar, K, rd),
+        a_im=_pad_rows(ai, K, rd),
+        c_re=float(np.real(c.const)),
+        c_im=float(np.imag(c.const)),
+        n_terms=c.n_terms,
+        hermitian=hermitian,
+    )
+
+
+def group_op_sequence(seq: CompiledOpSequence, k_cap: int = 16
+                      ) -> Optional[GroupedOpSequence]:
+    """Merge consecutive same-(op, x) runs into rotation groups.  Returns
+    None when a term is not odd-Y (kappa not in {+-i} <=> popcount(x & z)
+    even): only odd-Y terms act as REAL subspace rotations that compose
+    additively.  Every fermionic-UCC / qubit-pool generator is odd-Y."""
+    if seq.n_terms == 0:
+        return GroupedOpSequence(
+            n=seq.n, x=np.zeros(0, np.int32), z=np.zeros((0, 1), np.int32),
+            s=np.zeros((0, 1), default_rdtype()), op=np.zeros(0, np.int32),
+            n_ops=seq.n_ops, n_terms=0)
+    if np.max(np.abs(np.real(seq.kappa))) > _TOL:
+        return None  # even-Y term present
+    if np.max(np.abs(np.imag(seq.w)), initial=0.0) > 1e-9:
+        return None  # non-real rotation weight
+    rd = default_rdtype()
+    q = np.imag(seq.kappa)            # kappa = -iq with q = +-1... see below
+    # kappa in {i, -i}: Re(i*kappa) = -Im(kappa); b_t uses q_t = Re(i kappa)
+    qt = (-q).astype(rd)
+    wq = (np.real(seq.w).astype(rd)) * qt
+
+    runs: List[Tuple[int, int, List[int]]] = []   # (op, x, term indices)
+    for t in range(seq.n_terms):
+        op, xv = int(seq.op_index[t]), int(seq.x[t])
+        if runs and runs[-1][0] == op and runs[-1][1] == xv \
+                and len(runs[-1][2]) < k_cap:
+            runs[-1][2].append(t)
+        else:
+            runs.append((op, xv, [t]))
+    K = _pow2ceil(max(len(r[2]) for r in runs))
+    zr = [seq.z[r[2]].astype(np.int32) for r in runs]
+    sr = [wq[r[2]] for r in runs]
+    return GroupedOpSequence(
+        n=seq.n,
+        x=np.asarray([r[1] for r in runs], dtype=np.int32),
+        z=_pad_rows(zr, K, np.int32),
+        s=_pad_rows(sr, K, rd),
+        op=np.asarray([r[0] for r in runs], dtype=np.int32),
+        n_ops=seq.n_ops,
+        n_terms=seq.n_terms,
+    )
+
+
+def group_pool(seq: CompiledOpSequence, k_cap: int = 16) -> GroupedPool:
+    """Group pool terms by (op, x) — screening overlaps are linear in the
+    terms, so no odd-Y restriction and full reordering is allowed."""
+    rd = default_rdtype()
+    a = seq.w * seq.kappa
+    keys: List[Tuple[int, int]] = []
+    seen = {}
+    members: List[List[int]] = []
+    for t in range(seq.n_terms):
+        k = (int(seq.op_index[t]), int(seq.x[t]))
+        if k not in seen:
+            seen[k] = len(keys)
+            keys.append(k)
+            members.append([])
+        members[seen[k]].append(t)
+    xs, zr, ar, ai, ops = [], [], [], [], []
+    max_k = 1
+    for (op, xv), idx in zip(keys, members):
+        for s0 in range(0, len(idx), k_cap):
+            chunk = idx[s0 : s0 + k_cap]
+            xs.append(xv)
+            ops.append(op)
+            zr.append(seq.z[chunk].astype(np.int32))
+            ar.append(np.real(a[chunk]).astype(rd))
+            ai.append(np.imag(a[chunk]).astype(rd))
+            max_k = max(max_k, len(chunk))
+    K = _pow2ceil(max_k)
+    return GroupedPool(
+        n=seq.n,
+        x=np.asarray(xs, dtype=np.int32),
+        z=_pad_rows(zr, K, np.int32),
+        a_re=_pad_rows(ar, K, rd),
+        a_im=_pad_rows(ai, K, rd),
+        op=np.asarray(ops, dtype=np.int32),
+        n_ops=seq.n_ops,
+    )
+
+
+# ------------------------------------------------------------ field kernels
+
+def _lane_split(n: int) -> Tuple[int, int]:
+    lb = min(n, _LANE_BITS)
+    return 1 << (n - lb), 1 << lb      # (R rows, lanes)
+
+
+def _pm_matmul(A, B):
+    """A @ B where A's entries are exactly representable (0/+-1 signs):
+    full-precision accumulation (see statevector._xor_permute note on the
+    TPU bf16 default being catastrophic for state data)."""
+    return jax.lax.dot_general(
+        A, B, (((A.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=B.dtype,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _sign_field(z, coef, n: int):
+    """W(j) = sum_k coef_k (-1)^popcount(j & z_k) as an (R, lanes) array via
+    one rank-K matmul; z (K,) int32, coef (K,) real."""
+    R, lanes = _lane_split(n)
+    lb = lanes.bit_length() - 1
+    zi = jnp.asarray(z, jnp.int32)
+    rows = jax.lax.iota(jnp.int32, R)
+    cols = jax.lax.iota(jnp.int32, lanes)
+    shi = (1 - 2 * (jax.lax.population_count(
+        rows[:, None] & (zi[None, :] >> lb)) & 1)).astype(coef.dtype)
+    slo = (1 - 2 * (jax.lax.population_count(
+        (zi[:, None] & (lanes - 1)) & cols[None, :]) & 1)).astype(coef.dtype)
+    return _pm_matmul(shi, coef[:, None] * slo)
+
+
+def _group_bilinear(P2, z, n: int):
+    """t_k = sum_j s_{z_k}(j) P(j) for all K terms of one group, P given as
+    (R, lanes); two small matmuls, no (R, lanes) weight materialization."""
+    R, lanes = P2.shape
+    lb = lanes.bit_length() - 1
+    zi = jnp.asarray(z, jnp.int32)
+    rows = jax.lax.iota(jnp.int32, R)
+    cols = jax.lax.iota(jnp.int32, lanes)
+    shi = (1 - 2 * (jax.lax.population_count(
+        rows[:, None] & (zi[None, :] >> lb)) & 1)).astype(P2.dtype)
+    slo = (1 - 2 * (jax.lax.population_count(
+        (zi[:, None] & (lanes - 1)) & cols[None, :]) & 1)).astype(P2.dtype)
+    M = _pm_matmul(P2, slo.T)          # (R, K)
+    return jnp.sum(shi * M, axis=0)    # (K,)
+
+
+def xor_perm(psi, x):
+    """psi[..., j ^ x] — MXU permutation matmuls on accelerators, plain
+    gather on CPU (fast there)."""
+    if _use_mxu_xor():
+        return _xor_permute(psi, x)
+    idx = _indices(psi.shape[-1])
+    return psi[:, idx ^ x]
+
+
+# --------------------------------------------------------------- ham kernels
+
+def ham_as_device(gh: GroupedPauliSum):
+    """Static device-side argument tuple for the grouped Hamiltonian."""
+    return (gh.z_diag, gh.a_diag_re, gh.a_diag_im,
+            gh.x, gh.z, gh.a_re, gh.a_im,
+            np.asarray(gh.c_re, default_rdtype()),
+            np.asarray(gh.c_im, default_rdtype()),
+            gh.hermitian)
+
+
+def grouped_expectation(psi, zd, adr, adi, gx, gz, gar, gai, c_re, c_im,
+                        hermitian: bool):
+    """Re <psi|H|psi> over the grouped representation."""
+    psi = jnp.asarray(psi)
+    n = psi.shape[-1].bit_length() - 1
+    R, lanes = _lane_split(n)
+    p2 = (psi[0] * psi[0] + psi[1] * psi[1]).reshape(R, lanes)
+    tot = jnp.zeros((), dtype=psi.dtype)
+    if len(zd):
+        t = _group_bilinear(p2, zd, n)
+        tot = tot + jnp.sum(jnp.asarray(adr, psi.dtype) * t)
+
+    if len(gx):
+        def step(acc, g):
+            xg, zg, ar, ai = g
+            px = xor_perm(psi, xg)
+            P = (psi[0] * px[0] + psi[1] * px[1]).reshape(R, lanes)
+            t = _group_bilinear(P, zg, n)
+            acc = acc + jnp.sum(ar * t)
+            if not hermitian:
+                Q = (psi[0] * px[1] - psi[1] * px[0]).reshape(R, lanes)
+                u = _group_bilinear(Q, zg, n)
+                acc = acc - jnp.sum(ai * u)
+            return acc, None
+
+        tot, _ = jax.lax.scan(step, tot, (gx, gz, gar, gai))
+    return tot + c_re * jnp.sum(psi * psi)
+
+
+def grouped_ham_apply(psi, zd, adr, adi, gx, gz, gar, gai, c_re, c_im,
+                      hermitian: bool):
+    """H|psi> over the grouped representation."""
+    psi = jnp.asarray(psi)
+    n = psi.shape[-1].bit_length() - 1
+    acc = jnp.stack([c_re * psi[0] - c_im * psi[1],
+                     c_re * psi[1] + c_im * psi[0]])
+    if len(zd):
+        w_re = _sign_field(zd, jnp.asarray(adr, psi.dtype), n).reshape(-1)
+        if hermitian:
+            acc = acc + w_re[None, :] * psi
+        else:
+            w_im = _sign_field(zd, jnp.asarray(adi, psi.dtype), n).reshape(-1)
+            acc = acc + jnp.stack([w_re * psi[0] - w_im * psi[1],
+                                   w_re * psi[1] + w_im * psi[0]])
+
+    if len(gx):
+        def step(a, g):
+            xg, zg, ar, ai = g
+            px = xor_perm(psi, xg)
+            w_re = _sign_field(zg, ar, n).reshape(-1)
+            if hermitian:
+                a = a + w_re[None, :] * px
+            else:
+                w_im = _sign_field(zg, ai, n).reshape(-1)
+                a = a + jnp.stack([w_re * px[0] - w_im * px[1],
+                                   w_re * px[1] + w_im * px[0]])
+            return a, None
+
+        acc, _ = jax.lax.scan(step, acc, (gx, gz, gar, gai))
+    return acc
+
+
+# ------------------------------------------------------------ ansatz kernels
+
+def apply_grouped_ops(psi, theta, gx, gz, gs, gop, reverse: bool = False,
+                      sign: float = 1.0):
+    """prod_g Rot_g(theta): per group ONE permute + ONE angle-field matmul +
+    elementwise rotation (vs one full pass per Pauli term in apply_ops)."""
+    psi = jnp.asarray(psi)
+    n = psi.shape[-1].bit_length() - 1
+
+    def step(p, g):
+        xg, zg, sg, og = g
+        phi = _sign_field(zg, sg, n).reshape(-1)
+        B = (-sign) * theta[og] * phi
+        px = xor_perm(p, xg)
+        c, s = jnp.cos(B), jnp.sin(B)
+        return c[None, :] * p + s[None, :] * px, None
+
+    out, _ = jax.lax.scan(step, psi, (gx, gz, gs, gop), reverse=reverse)
+    return out
+
+
+def grouped_adjoint_sweep(theta, psi, lam, grad, gx, gz, gs, gop):
+    """Reversible adjoint over grouped rotations: walks the sequence
+    backwards from (psi_K, lam_K); dE/dtheta_op += -2 sum_j Phi_j
+    Re[conj(lam_j) psi_{j^x}] (see statevector._adjoint_sweep for the
+    per-term form this batches)."""
+    n = psi.shape[-1].bit_length() - 1
+
+    def step(carry, g):
+        p, l, gr = carry
+        xg, zg, sg, og = g
+        phi = _sign_field(zg, sg, n).reshape(-1)
+        B = -theta[og] * phi
+        c, s = jnp.cos(B), jnp.sin(B)
+        px = xor_perm(p, xg)
+        gt = -2.0 * jnp.sum(phi[None, :] * l * px)
+        p_prev = c[None, :] * p - s[None, :] * px
+        lx = xor_perm(l, xg)
+        l_prev = c[None, :] * l - s[None, :] * lx
+        return (p_prev, l_prev, gr.at[og].add(gt)), None
+
+    (p, l, grad), _ = jax.lax.scan(step, (psi, lam, grad),
+                                   (gx, gz, gs, gop), reverse=True)
+    return p, l, grad
+
+
+# ------------------------------------------------------- energy fn builders
+
+def seq_as_device(gseq: GroupedOpSequence):
+    return (gseq.x, gseq.z, gseq.s, gseq.op)
+
+
+def pad_grouped_sequence(gseq: GroupedOpSequence, g_pad: int,
+                         k_pad: Optional[int] = None) -> GroupedOpSequence:
+    """Pad to (g_pad, k_pad) so differently-sized ansaetze share one jitted
+    executable (padding groups: x=0 identity permute, s=0 zero angle)."""
+    G, K = gseq.z.shape if gseq.n_groups else (0, 1)
+    k_pad = k_pad if k_pad is not None else K
+    if g_pad < G or k_pad < K:
+        raise ValueError(f"pad ({g_pad},{k_pad}) < actual ({G},{K})")
+    rd = gseq.s.dtype if gseq.n_groups else default_rdtype()
+    z = np.zeros((g_pad, k_pad), np.int32)
+    s = np.zeros((g_pad, k_pad), rd)
+    x = np.zeros(g_pad, np.int32)
+    op = np.zeros(g_pad, np.int32)
+    if G:
+        z[:G, :K] = gseq.z
+        s[:G, :K] = gseq.s
+        x[:G] = gseq.x
+        op[:G] = gseq.op
+    return GroupedOpSequence(n=gseq.n, x=x, z=z, s=s, op=op,
+                             n_ops=gseq.n_ops, n_terms=gseq.n_terms)
+
+
+def build_grouped_energy_fn(psi0, gseq: GroupedOpSequence,
+                            gham: GroupedPauliSum):
+    """(jitted energy(theta), jitted forward(theta)) with the reversible
+    grouped adjoint as custom VJP — O(1) state memory."""
+    sargs = seq_as_device(gseq)
+    hargs = ham_as_device(gham)
+    psi0 = np.asarray(psi0)
+
+    def _forward(theta):
+        return apply_grouped_ops(psi0, theta, *sargs)
+
+    @jax.custom_vjp
+    def energy(theta):
+        return grouped_expectation(_forward(theta), *hargs)
+
+    def fwd(theta):
+        psi = _forward(theta)
+        return grouped_expectation(psi, *hargs), (theta, psi)
+
+    def bwd(res, g):
+        theta, psi = res
+        lam = grouped_ham_apply(psi, *hargs)
+        grad0 = jnp.zeros_like(theta)
+        _, _, grad = grouped_adjoint_sweep(theta, psi, lam, grad0, *sargs)
+        return (grad * g,)
+
+    energy.defvjp(fwd, bwd)
+    return jax.jit(energy), jax.jit(_forward)
+
+
+def build_grouped_dynamic_energy_fn(gham: GroupedPauliSum):
+    """Jitted (energy, energy_and_grad, forward) with the GROUPED ROTATION
+    ARRAYS AS ARGUMENTS (padded): one compilation serves every ansatz whose
+    padded (G, K) bucket matches — the ADAPT growth path."""
+    hargs = ham_as_device(gham)
+
+    @jax.jit
+    def energy(theta, psi0, gx, gz, gs, gop):
+        psi = apply_grouped_ops(psi0, theta, gx, gz, gs, gop)
+        return grouped_expectation(psi, *hargs)
+
+    @jax.jit
+    def energy_and_grad(theta, psi0, gx, gz, gs, gop):
+        psi = apply_grouped_ops(psi0, theta, gx, gz, gs, gop)
+        e = grouped_expectation(psi, *hargs)
+        lam = grouped_ham_apply(psi, *hargs)
+        grad0 = jnp.zeros_like(theta)
+        _, _, grad = grouped_adjoint_sweep(theta, psi, lam, grad0,
+                                           gx, gz, gs, gop)
+        return e, grad
+
+    @jax.jit
+    def forward(theta, psi0, gx, gz, gs, gop):
+        return apply_grouped_ops(psi0, theta, gx, gz, gs, gop)
+
+    return energy, energy_and_grad, forward
+
+
+# --------------------------------------------------------- pool screening
+
+def build_grouped_pool_gradient_fn(gpool: GroupedPool,
+                                   gham: GroupedPauliSum):
+    """host-complex v_i = <H psi| A_i |psi> for the whole pool, grouped:
+    one permute + two bilinear matmuls per (op, x) group (batches
+    statevector.pool_overlaps ~K-fold)."""
+    hargs = ham_as_device(gham)
+    n_ops = gpool.n_ops
+    px_, pz_, par_, pai_, pop_ = (gpool.x, gpool.z, gpool.a_re, gpool.a_im,
+                                  gpool.op)
+
+    @jax.jit
+    def _sigma(psi):
+        return grouped_ham_apply(psi, *hargs)
+
+    @jax.jit
+    def _overlaps(psi, sigma):
+        n = psi.shape[-1].bit_length() - 1
+        R, lanes = _lane_split(n)
+
+        def step(acc, g):
+            xg, zg, ar, ai, og = g
+            acc_re, acc_im = acc
+            pxs = xor_perm(psi, xg)
+            P = (sigma[0] * pxs[0] + sigma[1] * pxs[1]).reshape(R, lanes)
+            Q = (sigma[0] * pxs[1] - sigma[1] * pxs[0]).reshape(R, lanes)
+            t = _group_bilinear(P, zg, n)
+            u = _group_bilinear(Q, zg, n)
+            acc_re = acc_re.at[og].add(jnp.sum(ar * t - ai * u))
+            acc_im = acc_im.at[og].add(jnp.sum(ar * u + ai * t))
+            return (acc_re, acc_im), None
+
+        z0 = jnp.zeros(n_ops, dtype=psi.dtype)
+        (vre, vim), _ = jax.lax.scan(step, (z0, z0),
+                                     (px_, pz_, par_, pai_, pop_))
+        return jnp.stack([vre, vim])
+
+    def grads_host(psi) -> np.ndarray:
+        psi = jnp.asarray(psi)
+        out = np.asarray(_overlaps(psi, _sigma(psi)), dtype=np.float64)
+        return out[0] + 1j * out[1]
+
+    return grads_host
+
+
+# ---------------------------------------------------- segmented (large n)
+#
+# The axon backend kills device calls much past ~10 s (see
+# statevector.segment_size).  For large statevectors the group scans are
+# chunked into fixed-shape jitted pieces driven from a host loop, carrying
+# (psi / lambda / grad / accumulators) device arrays between calls.
+
+def grouped_segment_size(n: int, minimum: int = 64) -> int:
+    """Groups per device call for an n-qubit state (one group does ~2 terms'
+    worth of full-state passes: permute + field matmul + combine)."""
+    from .statevector import segment_size
+    return max(minimum, segment_size(n) // 2)
+
+
+def _pad_group_axis(arrs, G_pad: int):
+    out = []
+    for a in arrs:
+        pad = [(0, G_pad - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        out.append(np.pad(a, pad))
+    return out
+
+
+def build_grouped_segmented_energy_fn(gham: GroupedPauliSum,
+                                      seg: Optional[int] = None):
+    """Segmented (energy, energy_and_grad, forward): same math as
+    build_grouped_dynamic_energy_fn, executed as a host loop over
+    fixed-shape jitted segment programs."""
+    n = gham.n
+    if seg is None:
+        seg = grouped_segment_size(n)
+    hermitian = gham.hermitian
+    rd = default_rdtype()
+
+    G = gham.n_groups
+    n_seg = max(1, -(-G // seg)) if G else 0
+    if G:
+        seg = min(seg, 1 << (G - 1).bit_length()) if G > 1 else 1
+        n_seg = max(1, -(-G // seg))
+        hx, hz, har, hai = _pad_group_axis(
+            [gham.x, gham.z, gham.a_re, gham.a_im], n_seg * seg)
+        hx = hx.reshape(n_seg, seg)
+        hz = hz.reshape(n_seg, seg, -1)
+        har = har.reshape(n_seg, seg, -1)
+        hai = hai.reshape(n_seg, seg, -1)
+
+    zd, adr, adi = gham.z_diag, gham.a_diag_re, gham.a_diag_im
+    c_re = np.asarray(gham.c_re, rd)
+
+    @jax.jit
+    def _diag_expect(psi):
+        R, lanes = _lane_split(n)
+        acc = c_re * jnp.sum(psi * psi)
+        if len(zd):
+            p2 = (psi[0] * psi[0] + psi[1] * psi[1]).reshape(R, lanes)
+            acc = acc + jnp.sum(jnp.asarray(adr, psi.dtype)
+                                * _group_bilinear(p2, zd, n))
+        return acc
+
+    @jax.jit
+    def _expect_seg(psi, acc, gx, gz, gar, gai):
+        R, lanes = _lane_split(n)
+
+        def step(a, g):
+            xg, zg, ar, ai = g
+            px = xor_perm(psi, xg)
+            P = (psi[0] * px[0] + psi[1] * px[1]).reshape(R, lanes)
+            a = a + jnp.sum(ar * _group_bilinear(P, zg, n))
+            if not hermitian:
+                Q = (psi[0] * px[1] - psi[1] * px[0]).reshape(R, lanes)
+                a = a - jnp.sum(ai * _group_bilinear(Q, zg, n))
+            return a, None
+
+        out, _ = jax.lax.scan(step, acc, (gx, gz, gar, gai))
+        return out
+
+    @jax.jit
+    def _diag_ham(psi):
+        acc = c_re * psi
+        if len(zd):
+            w_re = _sign_field(zd, jnp.asarray(adr, psi.dtype), n).reshape(-1)
+            acc = acc + w_re[None, :] * psi
+            if not hermitian:
+                w_im = _sign_field(zd, jnp.asarray(adi, psi.dtype),
+                                   n).reshape(-1)
+                acc = acc + jnp.stack([-w_im * psi[1], w_im * psi[0]])
+        return acc
+
+    @jax.jit
+    def _ham_seg(psi, acc, gx, gz, gar, gai):
+        def step(a, g):
+            xg, zg, ar, ai = g
+            px = xor_perm(psi, xg)
+            w_re = _sign_field(zg, ar, n).reshape(-1)
+            if hermitian:
+                a = a + w_re[None, :] * px
+            else:
+                w_im = _sign_field(zg, ai, n).reshape(-1)
+                a = a + jnp.stack([w_re * px[0] - w_im * px[1],
+                                   w_re * px[1] + w_im * px[0]])
+            return a, None
+
+        out, _ = jax.lax.scan(step, acc, (gx, gz, gar, gai))
+        return out
+
+    @jax.jit
+    def _apply_seg(psi, theta, gx, gz, gs, gop):
+        return apply_grouped_ops(psi, theta, gx, gz, gs, gop)
+
+    @jax.jit
+    def _adjoint_seg(theta, p, l, grad, gx, gz, gs, gop):
+        return grouped_adjoint_sweep(theta, p, l, grad, gx, gz, gs, gop)
+
+    def _seq_segments(seq_args):
+        gx, gz, gs, gop = seq_args
+        Gq = len(gx)
+        if Gq == 0:
+            return None
+        ns = max(1, -(-Gq // seg))
+        gxp, gzp, gsp, gopp = _pad_group_axis([np.asarray(gx), np.asarray(gz),
+                                               np.asarray(gs), np.asarray(gop)],
+                                              ns * seg)
+        return (gxp.reshape(ns, seg), gzp.reshape(ns, seg, -1),
+                gsp.reshape(ns, seg, -1), gopp.reshape(ns, seg))
+
+    def forward(theta, psi0, seq_args):
+        segs = _seq_segments(seq_args)
+        psi = jnp.asarray(psi0)
+        if segs is None:
+            return psi
+        theta = jnp.asarray(theta, dtype=rd)
+        for i in range(segs[0].shape[0]):
+            psi = _apply_seg(psi, theta, *(s[i] for s in segs))
+        return psi
+
+    def _expectation(psi):
+        acc = _diag_expect(psi)
+        for i in range(n_seg):
+            acc = _expect_seg(psi, acc, hx[i], hz[i], har[i], hai[i])
+        return float(acc)
+
+    def _lham(psi):
+        acc = _diag_ham(psi)
+        for i in range(n_seg):
+            acc = _ham_seg(psi, acc, hx[i], hz[i], har[i], hai[i])
+        return acc
+
+    def energy(theta, psi0, seq_args):
+        return _expectation(forward(theta, psi0, seq_args))
+
+    def energy_and_grad(theta, psi0, seq_args):
+        theta = jnp.asarray(theta, dtype=rd)
+        psi = forward(theta, psi0, seq_args)
+        e = _expectation(psi)
+        lam = _lham(psi)
+        segs = _seq_segments(seq_args)
+        grad = jnp.zeros(theta.shape, dtype=rd)
+        if segs is not None:
+            p, l = psi, lam
+            for i in reversed(range(segs[0].shape[0])):
+                p, l, grad = _adjoint_seg(theta, p, l, grad,
+                                          *(s[i] for s in segs))
+        return e, np.asarray(grad, dtype=float)
+
+    return energy, energy_and_grad, forward, _lham, _expectation

@@ -1,12 +1,18 @@
 """Cached, shape-bucketed VQE objectives.
 
-One ``VQEObjective`` per Hamiltonian owns a single pair of jitted
-(energy, energy_and_grad) programs with the rotation sequence as dynamic,
-padded arguments.  Binding a new ansatz (ADAPT growth, a different screened
-operator, a restarted experiment) costs zero recompilation as long as the
-padded term count lands in an existing bucket — the compile-once/run-many
-discipline that XLA rewards and that the reference's per-evaluation circuit
-rebuilding (get_energy_ucc.py:42-49) structurally prevents.
+One ``VQEObjective`` per Hamiltonian owns jitted (energy, energy_and_grad)
+programs with the ansatz as dynamic, padded arguments.  Binding a new ansatz
+(ADAPT growth, a different screened operator, a restarted experiment) costs
+zero recompilation as long as the padded shape lands in an existing bucket —
+the compile-once/run-many discipline that XLA rewards and that the
+reference's per-evaluation circuit rebuilding (get_energy_ucc.py:42-49)
+structurally prevents.
+
+The default compute path is the x-mask-GROUPED engine (sim/grouped.py): one
+permutation + one MXU sign-field matmul per excitation group instead of one
+full state pass per Pauli term (~8x fewer passes for UCC ansaetze).  Ansatz
+sequences whose terms are not odd-Y (never the case for fermionic/qubit
+pools) fall back to the per-term scan engine transparently.
 """
 
 from __future__ import annotations
@@ -18,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.pauli import PauliSum
+from . import grouped as gr
 from . import statevector as sv
 from .compile import compile_op_sequence, compile_pauli_sum
 
@@ -29,20 +36,24 @@ class VQEObjective:
         self.n = n if n is not None else hamiltonian_sp.nbqbits
         self.cdtype = cdtype or sv.default_cdtype()
         self.ham = compile_pauli_sum(hamiltonian_sp, self.n)
+        self.gham = gr.group_pauli_sum(self.ham)
         if segmented is None:
             # the axon backend kills device calls past ~10 s: switch to
             # host-segmented execution when one full H pass would blow the
-            # per-call work budget
-            segmented = (self.ham.n_terms * float(1 << self.n)
-                         > sv._CALL_WORK_BUDGET)
+            # per-call work budget (a group costs ~2 per-term passes)
+            work_terms = 2 * self.gham.n_groups + 2
+            segmented = work_terms * float(1 << self.n) > sv._CALL_WORK_BUDGET
         self.segmented = bool(segmented)
         if self.segmented:
-            (self._seg_energy, self._seg_energy_and_grad,
-             self._seg_forward) = sv.build_segmented_energy_fn(self.ham,
-                                                               self.cdtype)
+            (self._seg_energy, self._seg_energy_and_grad, self._seg_forward,
+             self._seg_lham, self._seg_expect) = \
+                gr.build_grouped_segmented_energy_fn(self.gham)
         else:
-            self._energy, self._energy_and_grad = sv.build_dynamic_energy_fn(
-                self.ham, self.cdtype)
+            (self._energy, self._energy_and_grad,
+             self._forward) = gr.build_grouped_dynamic_energy_fn(self.gham)
+            hargs = gr.ham_as_device(self.gham)
+            self._lham = jax.jit(lambda psi: gr.grouped_ham_apply(psi, *hargs))
+        self._fallback_fns = None       # built lazily for non-odd-Y ansaetze
         self._psi0_cache: Dict[int, np.ndarray] = {}
 
     def _psi0(self, hf_init: int) -> np.ndarray:
@@ -51,45 +62,101 @@ class VQEObjective:
                                                     self.cdtype)
         return self._psi0_cache[hf_init]
 
+    def _fallback(self):
+        if self._fallback_fns is None:
+            if self.segmented:
+                self._fallback_fns = sv.build_segmented_energy_fn(self.ham,
+                                                                  self.cdtype)
+            else:
+                self._fallback_fns = sv.build_dynamic_energy_fn(self.ham,
+                                                                self.cdtype)
+        return self._fallback_fns
+
     def bind(self, generators: Sequence[PauliSum], hf_init: int):
         """Returns a BoundAnsatz for this generator list."""
         seq = compile_op_sequence(generators, self.n)
+        gseq = gr.group_op_sequence(seq)
+        if gseq is not None:
+            if not self.segmented and gseq.n_groups:
+                G, K = gseq.z.shape
+                gseq = gr.pad_grouped_sequence(
+                    gseq, sv.bucket_size(G), max(K, 8))
+            return BoundAnsatz(self, gr.seq_as_device(gseq), self._psi0(hf_init),
+                               len(generators), grouped=True)
         if not self.segmented:
             seq = sv.pad_sequence(seq, sv.bucket_size(max(seq.n_terms, 1)))
-        args = sv.seq_as_device(seq, self.cdtype)
-        return BoundAnsatz(self, args, self._psi0(hf_init), len(generators))
+        return BoundAnsatz(self, sv.seq_as_device(seq, self.cdtype),
+                           self._psi0(hf_init), len(generators), grouped=False)
+
+    # device-side Hamiltonian services (used by ADAPT fidelity/Lanczos)
+    def ham_apply(self, psi):
+        if self.segmented:
+            return self._seg_lham(jnp.asarray(psi))
+        return self._lham(jnp.asarray(psi))
+
+    def expectation(self, psi) -> float:
+        if self.segmented:
+            return float(self._seg_expect(jnp.asarray(psi)))
+        return float(gr.grouped_expectation(jnp.asarray(psi),
+                                            *gr.ham_as_device(self.gham)))
 
 
 class BoundAnsatz:
 
-    def __init__(self, objective: VQEObjective, seq_args, psi0, n_ops: int):
+    def __init__(self, objective: VQEObjective, seq_args, psi0, n_ops: int,
+                 grouped: bool = True):
         self._obj = objective
         self._seq_args = seq_args
         self._psi0 = psi0
+        self._grouped = grouped
         self.n_ops = n_ops
 
     def energy(self, theta) -> float:
-        if self._obj.segmented:
-            return float(self._obj._seg_energy(theta, self._psi0,
-                                               self._seq_args))
-        return float(self._obj._energy(jnp.asarray(theta, dtype=float),
-                                       self._psi0, *self._seq_args))
+        obj = self._obj
+        if self._grouped:
+            if obj.segmented:
+                return float(obj._seg_energy(theta, self._psi0,
+                                             self._seq_args))
+            return float(obj._energy(jnp.asarray(theta, dtype=float),
+                                     jnp.asarray(self._psi0),
+                                     *self._seq_args))
+        fns = obj._fallback()
+        if obj.segmented:
+            return float(fns[0](theta, self._psi0, self._seq_args))
+        return float(fns[0](jnp.asarray(theta, dtype=float), self._psi0,
+                            *self._seq_args))
 
     def energy_and_grad(self, theta) -> Tuple[float, np.ndarray]:
-        if self._obj.segmented:
-            e, g = self._obj._seg_energy_and_grad(theta, self._psi0,
-                                                  self._seq_args)
+        obj = self._obj
+        if self._grouped:
+            if obj.segmented:
+                e, g = obj._seg_energy_and_grad(theta, self._psi0,
+                                                self._seq_args)
+            else:
+                e, g = obj._energy_and_grad(jnp.asarray(theta, dtype=float),
+                                            jnp.asarray(self._psi0),
+                                            *self._seq_args)
             return float(e), np.asarray(g, dtype=float)
-        e, g = self._obj._energy_and_grad(jnp.asarray(theta, dtype=float),
-                                          self._psi0, *self._seq_args)
+        fns = obj._fallback()
+        if obj.segmented:
+            e, g = fns[1](theta, self._psi0, self._seq_args)
+        else:
+            e, g = fns[1](jnp.asarray(theta, dtype=float), self._psi0,
+                          *self._seq_args)
         return float(e), np.asarray(g, dtype=float)
 
     def forward(self, theta):
         """Final statevector planes (device array, shape (2, 2^n))."""
-        if self._obj.segmented:
-            return self._obj._seg_forward(theta, self._psi0, self._seq_args)
-        return _forward(jnp.asarray(theta, dtype=float),
-                        jnp.asarray(self._psi0), *self._seq_args)
+        obj = self._obj
+        theta = jnp.asarray(theta, dtype=float)
+        if self._grouped:
+            if obj.segmented:
+                return obj._seg_forward(theta, self._psi0, self._seq_args)
+            return obj._forward(theta, jnp.asarray(self._psi0),
+                                *self._seq_args)
+        if obj.segmented:
+            return obj._fallback()[2](theta, self._psi0, self._seq_args)
+        return _forward(theta, jnp.asarray(self._psi0), *self._seq_args)
 
     def scipy_fun_jac(self, energies: Optional[List[float]] = None):
         """(fun, jac) pair sharing one fused evaluation per point."""
