@@ -1,5 +1,10 @@
 """Sharded-statevector tests on the virtual 8-device CPU mesh: sharded
-results must match the single-device engine bit-for-bit (up to dtype)."""
+results must match the single-device engine to 1e-10 (f64 CPU).
+
+The engine is scan-over-groups (one executable regardless of pool size), so
+the FULL H4 UCCSD pool runs here — round 1 had to truncate it because the
+old per-term unroll was compile-bound.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -11,8 +16,9 @@ from openvqe_tpu.ops.hamiltonian import ElectronicStructureHamiltonian, convert_
 from openvqe_tpu.ops.transforms import transform_operator
 from openvqe_tpu.ops.uccsd import get_cluster_ops_and_init_guess
 from openvqe_tpu.parallel import sharded as sh
+from openvqe_tpu.sim import grouped as gr
 from openvqe_tpu.sim import statevector as sv
-from openvqe_tpu.sim.compile import compile_op_sequence, compile_pauli_sum
+from openvqe_tpu.sim.compile import compile_op_sequence, compile_pauli_sum, compile_pool
 
 
 @pytest.fixture(scope="module")
@@ -25,12 +31,7 @@ def h4_problem():
     cluster_ops, theta0, hf_init = get_cluster_ops_and_init_guess(
         md.n_elec, [0] * 8, eps_full, hpqrs)
     gens = [transform_operator(op, "JW") * 1j for op in cluster_ops]
-    # keep the sharded-ansatz compile small: the rotation sequence is
-    # unrolled inside shard_map (static ppermute schedule per term), so the
-    # test uses a subset of the UCCSD pool — 4 singles + 4 doubles (doubles
-    # carry the nonzero HF gradients; the full pool is exercised by the
-    # single-device engine tests)
-    return hsp, gens[:4] + gens[-4:], hf_init, md
+    return hsp, gens, hf_init, md
 
 
 def test_mesh_has_8_devices():
@@ -55,43 +56,68 @@ def test_sharded_ham_apply_matches_single(h4_problem):
 
 
 @pytest.fixture(scope="module")
-def sharded_fns(h4_problem):
-    """One sharded build shared by the gradient-match and VQE-step tests —
-    the shard_map compile dominates this file's runtime."""
+def sharded_obj(h4_problem):
+    """One sharded objective shared across tests (the shard_map compile
+    dominates this file's runtime)."""
     hsp, gens, hf_init, md = h4_problem
     mesh = sh.make_mesh(8)
-    return sh.build_sharded_energy_fn(hsp, gens, hf_init, mesh)
+    return sh.ShardedVQEObjective(hsp, mesh)
 
 
-def test_sharded_energy_and_adjoint_grad_match_single(h4_problem, sharded_fns):
+def test_sharded_full_pool_energy_and_grad_match_single(h4_problem,
+                                                        sharded_obj):
     hsp, gens, hf_init, md = h4_problem
-    energy, energy_and_grad, forward = sharded_fns
+    bound = sharded_obj.bind(gens, hf_init)
 
     seq = compile_op_sequence(gens, 8)
     ham = compile_pauli_sum(hsp, 8)
     energy1, _ = sv.build_energy_fn(sv.hf_state(8, hf_init), seq, ham)
     g1 = jax.jit(jax.grad(energy1))
 
-    theta = jnp.asarray(np.random.default_rng(1).normal(size=len(gens)) * 0.05)
-    e_sh = float(energy(theta))
-    e_1 = float(energy1(theta))
+    theta = np.random.default_rng(1).normal(size=len(gens)) * 0.05
+    e_sh = bound.energy(theta)
+    e_1 = float(energy1(jnp.asarray(theta)))
     assert np.isclose(e_sh, e_1, atol=1e-10)
 
-    e_sh2, g_sh = energy_and_grad(theta)
-    assert np.isclose(float(e_sh2), e_1, atol=1e-10)
-    assert np.allclose(np.asarray(g_sh), np.asarray(g1(theta)), atol=1e-8)
+    e_sh2, g_sh = bound.energy_and_grad(theta)
+    assert np.isclose(e_sh2, e_1, atol=1e-10)
+    assert np.allclose(g_sh, np.asarray(g1(jnp.asarray(theta))), atol=1e-8)
 
 
-def test_sharded_vqe_step_descends(h4_problem, sharded_fns):
-    """SGD steps built from the shared sharded energy_and_grad (equivalent to
-    sharded_vqe_step without paying a second shard_map compile)."""
+def test_sharded_segmented_matches_unsegmented(h4_problem, sharded_obj):
     hsp, gens, hf_init, md = h4_problem
-    _, energy_and_grad, _ = sharded_fns
-    theta = jnp.zeros(len(gens))
+    mesh = sh.make_mesh(8)
+    seg_obj = sh.ShardedVQEObjective(hsp, mesh, segmented=True)
+    seg_obj.seg = 3   # force multiple segments
+    theta = np.random.default_rng(2).normal(size=len(gens)) * 0.05
+    e_ref, g_ref = sharded_obj.bind(gens, hf_init).energy_and_grad(theta)
+    e_seg, g_seg = seg_obj.bind(gens, hf_init).energy_and_grad(theta)
+    assert np.isclose(e_ref, e_seg, atol=1e-10)
+    assert np.allclose(g_ref, g_seg, atol=1e-9)
+
+
+def test_sharded_pool_screen_matches_single(h4_problem, sharded_obj):
+    hsp, gens, hf_init, md = h4_problem
+    screen = sh.build_sharded_pool_gradient_fn(gens, sharded_obj)
+    psi = sharded_obj.bind(gens, hf_init).forward(
+        np.random.default_rng(3).normal(size=len(gens)) * 0.05)
+
+    ref_fn = gr.build_grouped_pool_gradient_fn(
+        gr.group_pool(compile_pool(gens, 8)),
+        gr.group_pauli_sum(compile_pauli_sum(hsp, 8)))
+    v_sh = screen(psi)
+    v_1 = ref_fn(jnp.asarray(np.asarray(psi)))
+    assert np.max(np.abs(v_sh - v_1)) < 1e-10
+
+
+def test_sharded_vqe_step_descends(h4_problem, sharded_obj):
+    hsp, gens, hf_init, md = h4_problem
+    bound = sharded_obj.bind(gens, hf_init)
+    theta = np.zeros(len(gens))
     energies = []
     for _ in range(8):
-        e, g = energy_and_grad(theta)
-        energies.append(float(e))
+        e, g = bound.energy_and_grad(theta)
+        energies.append(e)
         theta = theta - 0.1 * g
     assert np.isclose(energies[0], md.info["HF"], atol=1e-9)
     assert energies[-1] < energies[0] - 1e-3  # descending toward FCI
