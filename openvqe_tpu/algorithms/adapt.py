@@ -86,6 +86,21 @@ def _sort_gradients(list_grad: List[float]):
     return sorted_vals, sorted_idx
 
 
+def _objective_and_screen(hamiltonian_sp: PauliSum, n: int, pool_ops, mesh):
+    """(objective, pool-screen fn) on one device or sharded over a mesh —
+    the two objectives expose the same bind/expectation/ham_apply API, so
+    the ADAPT loops are mesh-agnostic (SURVEY.md §2.2 scaling axis)."""
+    if mesh is not None:
+        from ..parallel import sharded as sh
+        objective = sh.ShardedVQEObjective(hamiltonian_sp, mesh, n)
+        return objective, sh.build_sharded_pool_gradient_fn(pool_ops,
+                                                            objective)
+    objective = VQEObjective(hamiltonian_sp, n)
+    grad_fn = gr.build_grouped_pool_gradient_fn(
+        gr.group_pool(compile_pool(pool_ops, n)), objective.gham)
+    return objective, grad_fn
+
+
 def fermionic_adapt_vqe(
     cluster_ops_sp: Sequence[PauliSum],
     hamiltonian_sp: PauliSum,
@@ -101,6 +116,7 @@ def fermionic_adapt_vqe(
     verbose: bool = True,
     checkpoint_path: Optional[str] = None,
     log_path: Optional[str] = None,
+    mesh=None,
 ) -> Tuple[Dict, Dict]:
     """Fermionic ADAPT-VQE (reference fermionic_adapt_vqe.py:371-593).
 
@@ -124,9 +140,8 @@ def fermionic_adapt_vqe(
     # shape-bucketed dynamic objective: ansatz growth re-binds data instead
     # of recompiling (the static path would pay one XLA compile per outer
     # iteration — minutes each on the TPU remote-compile path)
-    objective = VQEObjective(hamiltonian_sp, n)
-    grad_fn = gr.build_grouped_pool_gradient_fn(
-        gr.group_pool(compile_pool(cluster_ops_sp, n)), objective.gham)
+    objective, grad_fn = _objective_and_screen(hamiltonian_sp, n,
+                                               cluster_ops_sp, mesh)
 
     ground = exact_ground_state(hamiltonian_sp, fidelity_max_qubits,
                                 objective=objective)
@@ -250,6 +265,7 @@ def qubit_adapt_vqe(
     verbose: bool = True,
     checkpoint_path: Optional[str] = None,
     log_path: Optional[str] = None,
+    mesh=None,
 ) -> Tuple[Dict, Dict, Dict, Dict]:
     """Qubit ADAPT-VQE (reference qubit_adapt_vqe.py:310-605).
 
@@ -276,9 +292,8 @@ def qubit_adapt_vqe(
     result_ana: Dict = {}
 
     n = hamiltonian_sp.nbqbits
-    objective = VQEObjective(hamiltonian_sp, n)
-    grad_fn = gr.build_grouped_pool_gradient_fn(
-        gr.group_pool(compile_pool(pool_mix, n)), objective.gham)
+    objective, grad_fn = _objective_and_screen(hamiltonian_sp, n,
+                                               pool_mix, mesh)
 
     psi = sv.hf_state(n, hf_init_sp)
     ref_energy = objective.expectation(psi)

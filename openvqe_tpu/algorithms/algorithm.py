@@ -24,6 +24,15 @@ class Algorithm:
         self.result: Dict = {}
 
     # ---------------------------------------------------------------- flow
+    def build_mesh(self):
+        """jax.sharding.Mesh from opts["mesh_devices"] (multi-chip scaling
+        axis — SURVEY.md §2.2); None = single device."""
+        nd = self.opts.get("mesh_devices")
+        if not nd:
+            return None
+        from ..parallel.sharded import make_mesh
+        return make_mesh(int(nd))
+
     def presentation(self, molecule_factory):
         r, geometry, charge, spin, basis = molecule_factory.get_parameters(
             self.molecule_symbol)

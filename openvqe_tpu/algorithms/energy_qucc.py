@@ -42,7 +42,8 @@ class EnergyUCC(_Base):
                                energies)
 
     def get_energies(self, hamiltonian_sp, cluster_ops, hf_init_sp,
-                     theta_current1, theta_current2, fci) -> Tuple[Dict, Dict]:
+                     theta_current1, theta_current2, fci,
+                     mesh=None) -> Tuple[Dict, Dict]:
         """Two runs: MP2 initial parameters vs fixed step (reference
         get_energy_qucc.py:136-244, tol 1e-5, BFGS)."""
         iterations = {
@@ -61,9 +62,11 @@ class EnergyUCC(_Base):
         energies_1: List[float] = []
         energies_2: List[float] = []
         opt1 = self._minimize(hamiltonian_sp, gens, hf_init_sp,
-                              theta_current1, method, tolerance, energies_1)
+                              theta_current1, method, tolerance, energies_1,
+                              mesh=mesh)
         opt2 = self._minimize(hamiltonian_sp, gens, hf_init_sp,
-                              theta_current2, method, tolerance, energies_2)
+                              theta_current2, method, tolerance, energies_2,
+                              mesh=mesh)
 
         counts = yordanov_gate_counts(self._excitation_indices(cluster_ops),
                                       hf_init_sp)

@@ -24,13 +24,20 @@ from ..sim.objective import VQEObjective
 from ..utils.gate_count import staircase_gate_counts
 
 
+def _objective(hamiltonian_sp: PauliSum, mesh=None):
+    if mesh is not None:
+        from ..parallel.sharded import ShardedVQEObjective
+        return ShardedVQEObjective(hamiltonian_sp, mesh)
+    return VQEObjective(hamiltonian_sp)
+
+
 def build_vqe_objective(hamiltonian_sp: PauliSum,
                         generators: Sequence[PauliSum],
-                        hf_init_sp: int):
+                        hf_init_sp: int, mesh=None):
     """(energy_fn, grad_fn, forward_fn) for prod exp(i theta_k G_k)|HF>,
     on the grouped engine (one permute + one sign-field matmul per
-    excitation — sim/grouped.py)."""
-    bound = VQEObjective(hamiltonian_sp).bind(generators, hf_init_sp)
+    excitation — sim/grouped.py), optionally sharded over a mesh."""
+    bound = _objective(hamiltonian_sp, mesh).bind(generators, hf_init_sp)
     return (bound.energy, lambda t: bound.energy_and_grad(t)[1],
             bound.forward)
 
@@ -58,8 +65,9 @@ class EnergyUCC:
         return sv.to_host(forward(jnp.asarray(parameters, dtype=float)))
 
     def _minimize(self, hamiltonian_sp, generators, hf_init_sp, theta0,
-                  method: str, tolerance: float, energies: List[float]):
-        bound = VQEObjective(hamiltonian_sp).bind(generators, hf_init_sp)
+                  method: str, tolerance: float, energies: List[float],
+                  mesh=None):
+        bound = _objective(hamiltonian_sp, mesh).bind(generators, hf_init_sp)
         if method in ("COBYLA", "Nelder-Mead", "Powell"):
             jac = None
 
@@ -74,8 +82,8 @@ class EnergyUCC:
             tol=tolerance, jac=jac, options={"maxiter": 50000, "disp": False})
 
     def get_energies(self, hamiltonian_sp, cluster_ops_sp, pool_generator,
-                     hf_init_sp, theta_current1, theta_current2, fci
-                     ) -> Tuple[Dict, Dict]:
+                     hf_init_sp, theta_current1, theta_current2, fci,
+                     mesh=None) -> Tuple[Dict, Dict]:
         """Two optimizations — fermionic-evolution ansatz vs qubit-pool
         ansatz — with the reference's result schema
         (get_energy_ucc.py:92-206; tol 1e-4, BFGS)."""
@@ -94,9 +102,11 @@ class EnergyUCC:
         energies_1: List[float] = []
         energies_2: List[float] = []
         opt1 = self._minimize(hamiltonian_sp, cluster_ops_sp, hf_init_sp,
-                              theta_current1, method, tolerance, energies_1)
+                              theta_current1, method, tolerance, energies_1,
+                              mesh=mesh)
         opt2 = self._minimize(hamiltonian_sp, pool_generator, hf_init_sp,
-                              theta_current2, method, tolerance, energies_2)
+                              theta_current2, method, tolerance, energies_2,
+                              mesh=mesh)
 
         theta1 = list(map(float, opt1.x))
         theta2 = list(map(float, opt2.x))

@@ -50,6 +50,7 @@ class FermionicAdapt(Algorithm):
             max_external_iterations=self.opts["max_external_iterations"],
             checkpoint_path=self.opts.get("checkpoint_path"),
             log_path=self.opts.get("log_path"),
+            mesh=self.build_mesh(),
         )
         print("iterations are:", iterations)
         print("results are:", result)

@@ -64,6 +64,7 @@ class QubitAdapt(Algorithm):
             method_sim=self.opts["optimizer"],
             checkpoint_path=self.opts.get("checkpoint_path"),
             log_path=self.opts.get("log_path"),
+            mesh=self.build_mesh(),
         )
         print("iterations are:", iterations_sim)
         print("results are:", result_sim)

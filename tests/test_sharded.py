@@ -128,3 +128,52 @@ def test_sharded_hf_state_layout():
     psi = sh.sharded_hf_state(8, 0b11110000, mesh)
     host = sv.to_host(psi)
     assert host[0b11110000] == 1.0 and np.count_nonzero(host) == 1
+
+
+def test_fermionic_adapt_on_mesh_matches_single(h4_problem):
+    """End-to-end ADAPT-VQE with the state sharded over the mesh (driver
+    opt mesh_devices / VQEConfig.mesh_devices) reproduces the single-device
+    trajectory."""
+    from openvqe_tpu.algorithms.adapt import fermionic_adapt_vqe
+
+    hsp, gens, hf_init, md = h4_problem
+    cluster = [g * (-1j) for g in gens]   # anti-Hermitian pool form
+    kw = dict(n_max_grads=1, fci=md.info["FCI"], optimizer="BFGS",
+              tolerance=1e-7, max_external_iterations=3, verbose=False)
+    it_1, _ = fermionic_adapt_vqe(cluster, hsp, hf_init, **kw)
+    it_m, _ = fermionic_adapt_vqe(cluster, hsp, hf_init,
+                                  mesh=sh.make_mesh(8), **kw)
+    assert np.allclose(it_1["energies"], it_m["energies"], atol=1e-8)
+    assert np.allclose(it_1["norms"], it_m["norms"], atol=1e-8)
+
+
+def test_14q_beh2_sharded_matches_single():
+    """14-qubit BeH2/STO-3G UCCSD energy+gradient over the 8-device mesh ==
+    single device to 1e-10 (VERDICT round-1 item 3 'done' criterion)."""
+    from openvqe_tpu.chem.frontend import compute_molecule
+    from openvqe_tpu.ops.hamiltonian import (
+        ElectronicStructureHamiltonian, convert_to_h_integrals)
+    from openvqe_tpu.ops.transforms import transform_operator
+    from openvqe_tpu.ops.uccsd import get_cluster_ops_and_init_guess
+    from openvqe_tpu.sim.objective import VQEObjective
+
+    md = compute_molecule([("Be", (0, 0, 0)), ("H", (0, 0, 1.4)),
+                           ("H", (0, 0, -1.4))], "sto-3g",
+                          run_fci_flag=False)
+    n = 2 * len(md.orbital_energies)
+    assert n == 14
+    hpq, hpqrs = convert_to_h_integrals(md.one_body_integrals,
+                                        md.two_body_integrals)
+    hsp = ElectronicStructureHamiltonian(
+        hpq, hpqrs, md.nuclear_repulsion).to_spin("JW")
+    eps_full = [e for e in md.orbital_energies for _ in range(2)]
+    cluster_ops, theta0, hf_init = get_cluster_ops_and_init_guess(
+        md.n_elec, [0] * n, eps_full, hpqrs)
+    gens = [transform_operator(op, "JW") * 1j for op in cluster_ops]
+
+    theta = np.asarray(theta0, dtype=float)  # MP2 amplitudes
+    e_1, g_1 = VQEObjective(hsp).bind(gens, hf_init).energy_and_grad(theta)
+    bound_m = sh.ShardedVQEObjective(hsp, sh.make_mesh(8)).bind(gens, hf_init)
+    e_m, g_m = bound_m.energy_and_grad(theta)
+    assert abs(e_1 - e_m) < 1e-10
+    assert np.max(np.abs(g_1 - g_m)) < 1e-9
