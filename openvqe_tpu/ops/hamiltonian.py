@@ -103,18 +103,30 @@ def get_active_space_hamiltonian(
     threshold_2: float = 2e-3,
 ) -> Tuple[ElectronicStructureHamiltonian, List[int], List[int]]:
     """NOON-threshold active-space selection with frozen-core folding
-    (reference molecule_factory.py:386-394; selection boundaries chosen so
-    that with threshold_1 = 2 - noons[0] and threshold_2 = noons[3] the
-    highest-occupation orbital stays ACTIVE and orbital 3 is dropped, which
-    reproduces the golden active-space pool sizes in the reference tests).
+    (reference molecule_factory.py:386-394 / qat semantics).
 
-    occupied: noon > 2 - threshold_1 (frozen, occupation 2)
-    active:   threshold_2 < noon <= 2 - threshold_1
+    occupied: noon >= 2 - threshold_1 (frozen at occupation 2), but only
+              while at least two electrons remain active — validated against
+              the reference's own notebook outputs: H4 with
+              threshold_1 = 2 - noons[0] freezes natural orbital 0 (6 active
+              qubits, 2 active electrons, active VQE minimum -2.14996,
+              reference demo_quccsd_active_space.ipynb) while H2/6-31G keeps
+              all 8 qubits because freezing its orbital 0 would exhaust the
+              2 electrons (demo_puccgsd_active_space.ipynb).
+    active:   noon >= threshold_2 among the unfrozen orbitals (inclusive:
+              both notebooks keep the boundary orbital whose noon EQUALS
+              threshold_2 = noons[3]... H4 drops nothing further, H2 keeps
+              all four).
     """
     noons = list(noons)
-    occ_inds = [i for i, w in enumerate(noons) if w > 2.0 - threshold_1]
+    occ_inds: List[int] = []
+    for i, w in enumerate(noons):      # noons descending: prefix freeze
+        if w >= 2.0 - threshold_1 and 2 * (len(occ_inds) + 1) <= n_elec - 2:
+            occ_inds.append(i)
+        else:
+            break
     active_inds = [i for i, w in enumerate(noons)
-                   if threshold_2 < w <= 2.0 - threshold_1]
+                   if i not in occ_inds and w >= threshold_2]
     if not active_inds:
         raise ValueError("active space selection produced no active orbitals")
 
