@@ -1,0 +1,93 @@
+"""Large-system VQE iteration benchmark (hydrogen chains, UCCSD).
+
+One VQE iteration = one energy + one exact reversible-adjoint gradient over
+the full UCCSD ansatz (the optimizer consumes exactly this per BFGS step).
+Reference-scale analog: (n_params + 1) full circuit simulations per
+iteration through a rebuilt myQLM circuit (get_energy_ucc.py:158-175).
+
+Usage:
+    python benchmarks/bench_large_vqe.py [n_atoms ...]   (default: 8 10)
+
+Prints one JSON line per system:
+    {"system": "H8", "qubits": 16, "h_terms": ..., "h_groups": ...,
+     "ops": ..., "s_per_iteration": ..., "energy": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def bench_chain(n_atoms: int, spacing: float = 1.0, repeats: int = 3):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from openvqe_tpu.chem.frontend import compute_molecule
+    from openvqe_tpu.ops.hamiltonian import (
+        ElectronicStructureHamiltonian,
+        convert_to_h_integrals,
+    )
+    from openvqe_tpu.ops.transforms import transform_operator
+    from openvqe_tpu.ops.uccsd import get_cluster_ops_and_init_guess
+    from openvqe_tpu.sim.objective import VQEObjective
+
+    t_setup = time.time()
+    md = compute_molecule(
+        [("H", (0, 0, spacing * k)) for k in range(n_atoms)], "sto-3g",
+        run_fci_flag=False)
+    hpq, hpqrs = convert_to_h_integrals(md.one_body_integrals,
+                                        md.two_body_integrals)
+    hsp = ElectronicStructureHamiltonian(
+        hpq, hpqrs, md.nuclear_repulsion).to_spin("JW")
+    n = hsp.nbqbits
+    eps_full = [e for e in md.orbital_energies for _ in range(2)]
+    cluster_ops, theta0, hf_init = get_cluster_ops_and_init_guess(
+        md.n_elec, [0] * n, eps_full, hpqrs)
+    gens = [transform_operator(op, "JW") * 1j for op in cluster_ops]
+
+    obj = VQEObjective(hsp)
+    bound = obj.bind(gens, hf_init)
+    theta = np.asarray(theta0, dtype=float)
+    setup_s = time.time() - t_setup
+
+    t_compile = time.time()
+    e, g = bound.energy_and_grad(theta)      # compile + warm-up
+    compile_s = time.time() - t_compile
+
+    times = []
+    for r in range(repeats):
+        t0 = time.time()
+        e, g = bound.energy_and_grad(theta + 1e-4 * (r + 1))
+        times.append(time.time() - t0)
+
+    return {
+        "system": f"H{n_atoms}",
+        "qubits": n,
+        "h_terms": obj.ham.n_terms,
+        "h_groups": obj.gham.n_groups,
+        "h_diag_terms": int(len(obj.gham.z_diag)),
+        "ops": len(gens),
+        "segmented": obj.segmented,
+        "setup_s": round(setup_s, 2),
+        "compile_s": round(compile_s, 2),
+        "s_per_iteration": round(float(np.median(times)), 4),
+        "energy": float(e),
+        "grad_norm": float(np.linalg.norm(g)),
+    }
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ovqe_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    sizes = [int(a) for a in sys.argv[1:]] or [8, 10]
+    for n_atoms in sizes:
+        print(json.dumps(bench_chain(n_atoms)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -267,14 +267,14 @@ def _lane_split(n: int) -> Tuple[int, int]:
     return 1 << (n - lb), 1 << lb      # (R rows, lanes)
 
 
-def _pm_matmul(A, B):
-    """A @ B where A's entries are exactly representable (0/+-1 signs):
-    full-precision accumulation (see statevector._xor_permute note on the
-    TPU bf16 default being catastrophic for state data)."""
-    return jax.lax.dot_general(
-        A, B, (((A.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=B.dtype,
-        precision=jax.lax.Precision.HIGHEST)
+def _pm_matmul(A, B, exact_side: str = "a"):
+    """A @ B where one side's entries are exactly representable (0/+-1
+    signs): HIGHEST precision or bf16-limb split per the engine matmul mode
+    (statevector.exact_dot)."""
+    from .statevector import exact_dot
+    return exact_dot(A, B, (((A.ndim - 1,), (0,)), ((), ())),
+                     exact_side=exact_side,
+                     out_dtype=B.dtype if exact_side == "a" else A.dtype)
 
 
 def _sign_field(z, coef, n: int):
@@ -304,8 +304,8 @@ def _group_bilinear(P2, z, n: int):
         rows[:, None] & (zi[None, :] >> lb)) & 1)).astype(P2.dtype)
     slo = (1 - 2 * (jax.lax.population_count(
         (zi[:, None] & (lanes - 1)) & cols[None, :]) & 1)).astype(P2.dtype)
-    M = _pm_matmul(P2, slo.T)          # (R, K)
-    return jnp.sum(shi * M, axis=0)    # (K,)
+    M = _pm_matmul(P2, slo.T, exact_side="b")   # (R, K)
+    return jnp.sum(shi * M, axis=0)             # (K,)
 
 
 def xor_perm(psi, x):

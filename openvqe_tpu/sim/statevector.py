@@ -109,6 +109,89 @@ def _use_mxu_xor() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+# ------------------------------------------------------- matmul precision
+#
+# Every matmul in the engine has one EXACT operand: a signed permutation /
+# sign matrix with entries in {0, +-1}, representable in bf16 without error.
+# Full f32 precision therefore only requires splitting the OTHER (state)
+# operand into bf16 limbs:  X = hi + lo (+ lo2),  A@X = A@hi + A@lo (+...).
+# Per-limb products are exact bf16 multiplies with f32 MXU accumulation, so
+#   bf16x2: 2 MXU passes, residual ~2^-18 |X|   (vs f32's 2^-24)
+#   bf16x3: 3 MXU passes, residual ~2^-27 |X|   (better than f32)
+# against Precision.HIGHEST's 6 passes for an f32 x f32 product (XLA splits
+# BOTH operands — wasted on the exact side).  Mode applies on accelerators
+# only; CPU/f64 paths always use HIGHEST.
+
+import os as _os
+
+_MM_MODES = ("highest", "bf16x2", "bf16x3")
+_MM_MODE = _os.environ.get("OVQE_MM", "highest").lower()
+if _MM_MODE not in _MM_MODES:
+    raise ValueError(f"OVQE_MM must be one of {_MM_MODES}, got {_MM_MODE!r}")
+
+
+def set_matmul_mode(mode: str) -> str:
+    """Set the engine-wide matmul mode ('highest' | 'bf16x2' | 'bf16x3');
+    returns the previous mode.  Takes effect at the next trace (callers
+    cache jitted programs — rebuild objectives after switching)."""
+    global _MM_MODE
+    if mode not in _MM_MODES:
+        raise ValueError(f"mode must be one of {_MM_MODES}, got {mode!r}")
+    prev, _MM_MODE = _MM_MODE, mode
+    return prev
+
+
+def matmul_mode() -> str:
+    return _MM_MODE
+
+
+def _split_bf16(x, limbs: int):
+    """f32 -> bf16 limbs.  The textbook split ``r = x - bf16(x)`` MISCOMPILES
+    on the axon TPU backend: the subtraction is evaluated at bf16 precision
+    (even behind an optimization_barrier), silently zeroing every low limb.
+    The hi limb is therefore produced by BITMASK truncation (top 16 bits of
+    the f32 representation are exactly representable in bf16) and the
+    residual subtraction is exact in f32."""
+    parts = []
+    r = x
+    for _ in range(limbs - 1):
+        ri = jax.lax.bitcast_convert_type(r, jnp.uint32)
+        h = jax.lax.bitcast_convert_type(
+            ri & np.uint32(0xFFFF0000), jnp.float32)
+        parts.append(h.astype(jnp.bfloat16))
+        r = r - h
+    parts.append(r.astype(jnp.bfloat16))
+    return parts
+
+
+def exact_dot(a, b, dims, exact_side: str, out_dtype=None):
+    """lax.dot_general(a, b, dims) where the ``exact_side`` operand ('a' or
+    'b') has only {0, +-1} entries; the other operand is limb-split per the
+    engine matmul mode."""
+    out_dtype = out_dtype or (b.dtype if exact_side == "a" else a.dtype)
+    if (_MM_MODE == "highest" or out_dtype == jnp.float64
+            or not _use_mxu_xor()):
+        return jax.lax.dot_general(a, b, dims,
+                                   preferred_element_type=out_dtype,
+                                   precision=jax.lax.Precision.HIGHEST)
+    limbs = 2 if _MM_MODE == "bf16x2" else 3
+    if exact_side == "a":
+        a16 = a.astype(jnp.bfloat16)
+        out = None
+        for p in _split_bf16(b, limbs):
+            c = jax.lax.dot_general(a16, p, dims,
+                                    preferred_element_type=out_dtype)
+            out = c if out is None else out + c
+    else:
+        b16 = b.astype(jnp.bfloat16)
+        out = None
+        for p in _split_bf16(a, limbs):
+            c = jax.lax.dot_general(p, b16, dims,
+                                    preferred_element_type=out_dtype)
+            out = c if out is None else out + c
+    return out
+
+
 def _bit_groups(n_bits: int):
     """Split n_bits into groups of <= _LANE_BITS, LSB group first."""
     groups = []
@@ -180,13 +263,13 @@ def _xor_permute(psi, x, z=None):
             sgn = (1.0 - 2.0 * (jax.lax.population_count(li & zg) & 1)
                    ).astype(psi.dtype)
             P = P * sgn[None, :]
-        # Precision.HIGHEST: TPU matmuls default to bf16 passes, which is
-        # catastrophic for a statevector permutation; full f32 is required
+        # single-pass bf16 would be catastrophic for a statevector
+        # permutation; exact_dot does HIGHEST or limb-split per the engine
+        # matmul mode (P is the exact {0,+-1} side)
         t = jnp.moveaxis(
-            jax.lax.dot_general(jnp.moveaxis(t, axis, -1), P,
-                                (((t.ndim - 1,), (0,)), ((), ())),
-                                preferred_element_type=psi.dtype,
-                                precision=jax.lax.Precision.HIGHEST),
+            exact_dot(jnp.moveaxis(t, axis, -1), P,
+                      (((t.ndim - 1,), (0,)), ((), ())),
+                      exact_side="b", out_dtype=psi.dtype),
             -1, axis)
         shift += g
     return t.reshape(2, N)
