@@ -25,6 +25,7 @@ import numpy as np
 
 from ..ops.pauli import PauliSum
 from . import grouped as gr
+from . import pallas_kernels as pk
 from . import statevector as sv
 from .compile import compile_op_sequence, compile_pauli_sum
 
@@ -53,8 +54,55 @@ class VQEObjective:
              self._forward) = gr.build_grouped_dynamic_energy_fn(self.gham)
             hargs = gr.ham_as_device(self.gham)
             self._lham = jax.jit(lambda psi: gr.grouped_ham_apply(psi, *hargs))
+        # Pallas fused kernels: VMEM-resident rotation sweep + expectation
+        # (TPU, f32, 14 <= n <= 20 — sim/pallas_kernels.py); the adjoint and
+        # H|psi> stay on the XLA grouped path
+        self._pallas = (not self.segmented and pk.pallas_supported(self.n)
+                        and sv.default_rdtype() == np.float32)
+        if self._pallas:
+            self._build_pallas_programs()
         self._fallback_fns = None       # built lazily for non-odd-Y ansaetze
         self._psi0_cache: Dict[int, np.ndarray] = {}
+
+    def _build_pallas_programs(self):
+        n = self.n
+        gham = self.gham
+        hargs_p = pk.ham_args(pk.ham_group_data(gham))
+        hargs_x = gr.ham_as_device(gham)
+        zd, adr = gham.z_diag, gham.a_diag_re
+        c_re = float(gham.c_re)
+
+        def _expect(psi):
+            e = pk.expectation_pallas(psi, *hargs_p)
+            if len(zd):
+                R, lanes = gr._lane_split(n)
+                p2 = (psi[0] * psi[0] + psi[1] * psi[1]).reshape(R, lanes)
+                e = e + jnp.sum(jnp.asarray(adr, psi.dtype)
+                                * gr._group_bilinear(p2, zd, n))
+            return e + c_re * jnp.sum(psi * psi)
+
+        @jax.jit
+        def p_energy(theta, psi0, pargs):
+            psi = pk.apply_grouped_ops_pallas(psi0, theta, *pargs)
+            return _expect(psi)
+
+        @jax.jit
+        def p_energy_and_grad(theta, psi0, pargs, xargs):
+            psi = pk.apply_grouped_ops_pallas(psi0, theta, *pargs)
+            e = _expect(psi)
+            lam = gr.grouped_ham_apply(psi, *hargs_x)
+            grad0 = jnp.zeros_like(theta)
+            _, _, grad = gr.grouped_adjoint_sweep(theta, psi, lam, grad0,
+                                                  *xargs)
+            return e, grad
+
+        @jax.jit
+        def p_forward(theta, psi0, pargs):
+            return pk.apply_grouped_ops_pallas(psi0, theta, *pargs)
+
+        self._p_energy = p_energy
+        self._p_energy_and_grad = p_energy_and_grad
+        self._p_forward = p_forward
 
     def _psi0(self, hf_init: int) -> np.ndarray:
         if hf_init not in self._psi0_cache:
@@ -81,8 +129,15 @@ class VQEObjective:
                 G, K = gseq.z.shape
                 gseq = gr.pad_grouped_sequence(
                     gseq, sv.bucket_size(G), max(K, 8))
-            return BoundAnsatz(self, gr.seq_as_device(gseq), self._psi0(hf_init),
-                               len(generators), grouped=True)
+            pargs = None
+            if self._pallas and gseq.n_groups:
+                # device-resident once per bind: the pallas operands are a
+                # few MB and must not ride host->device on every call
+                pargs = tuple(jnp.asarray(a)
+                              for a in pk.seq_args(pk.seq_group_data(gseq)))
+            sargs = tuple(jnp.asarray(a) for a in gr.seq_as_device(gseq))
+            return BoundAnsatz(self, sargs, self._psi0(hf_init),
+                               len(generators), grouped=True, pargs=pargs)
         if not self.segmented:
             seq = sv.pad_sequence(seq, sv.bucket_size(max(seq.n_terms, 1)))
         return BoundAnsatz(self, sv.seq_as_device(seq, self.cdtype),
@@ -104,15 +159,19 @@ class VQEObjective:
 class BoundAnsatz:
 
     def __init__(self, objective: VQEObjective, seq_args, psi0, n_ops: int,
-                 grouped: bool = True):
+                 grouped: bool = True, pargs=None):
         self._obj = objective
         self._seq_args = seq_args
         self._psi0 = psi0
         self._grouped = grouped
+        self._pargs = pargs        # pallas group operands (or None)
         self.n_ops = n_ops
 
     def energy(self, theta) -> float:
         obj = self._obj
+        if self._pargs is not None:
+            return float(obj._p_energy(jnp.asarray(theta, dtype=float),
+                                       jnp.asarray(self._psi0), self._pargs))
         if self._grouped:
             if obj.segmented:
                 return float(obj._seg_energy(theta, self._psi0,
@@ -128,6 +187,11 @@ class BoundAnsatz:
 
     def energy_and_grad(self, theta) -> Tuple[float, np.ndarray]:
         obj = self._obj
+        if self._pargs is not None:
+            e, g = obj._p_energy_and_grad(jnp.asarray(theta, dtype=float),
+                                          jnp.asarray(self._psi0),
+                                          self._pargs, self._seq_args)
+            return float(e), np.asarray(g, dtype=float)
         if self._grouped:
             if obj.segmented:
                 e, g = obj._seg_energy_and_grad(theta, self._psi0,
@@ -149,6 +213,9 @@ class BoundAnsatz:
         """Final statevector planes (device array, shape (2, 2^n))."""
         obj = self._obj
         theta = jnp.asarray(theta, dtype=float)
+        if self._pargs is not None:
+            return obj._p_forward(theta, jnp.asarray(self._psi0),
+                                  self._pargs)
         if self._grouped:
             if obj.segmented:
                 return obj._seg_forward(theta, self._psi0, self._seq_args)

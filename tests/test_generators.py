@@ -81,10 +81,14 @@ def test_active_space_hamiltonian_fci_consistency(factory):
     (ham_a, ham_sp_a, nb_els, active_noons, active_eps, info
      ) = factory.generate_hamiltonian("H4", active=True, transform="JW",
                                       display=False)
-    assert ham_a.nbqbits == 6 and nb_els == 4
-    ev = np.linalg.eigvalsh(ham_sp_a.to_matrix())
-    e0 = ev[0]
+    # qat semantics (validated against the reference notebooks,
+    # tests/test_active_space.py): natural orbital 0 frozen, {1,2,3} active
+    assert ham_a.nbqbits == 6 and nb_els == 2
+    m = ham_sp_a.to_matrix()
+    # ground state within the 2-active-electron sector
+    idx = [j for j in range(1 << 6) if bin(j).count("1") == nb_els]
+    e0 = float(np.linalg.eigvalsh(m[np.ix_(idx, idx)])[0])
     assert info["FCI"] - 1e-9 < e0 < info["HF"]
-    # 3-of-4-orbital active space recovers roughly half the correlation
-    # energy for stretched H4 (dropped orbital has NOON ~0.015)
+    # frozen-core 3-orbital active space recovers most of the correlation
+    # energy for H4 (reference active VQE minimum -2.14996 vs FCI -2.17831)
     assert e0 - info["FCI"] < 0.05
