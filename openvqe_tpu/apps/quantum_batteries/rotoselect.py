@@ -89,9 +89,67 @@ def rotoselect_cycle(cost, params: np.ndarray, gen_ids: np.ndarray):
     return params, gen_ids
 
 
+def build_fused_rotoselect(ham: PauliSum, hf: Optional[str], n_steps: int):
+    """The ENTIRE rotoselect optimization as ONE jitted program:
+    lax.scan over cycles, lax.fori over parameters, the 3 candidate
+    generators batched with vmap.  The host-loop version dispatches ~10
+    tiny device calls per parameter per cycle (tunnel-latency bound — the
+    round-1 TPU numbers LOST to the reference GPU on this workload); fused,
+    the whole 50-cycle run is one executable."""
+    n = ham.nbqbits
+    c = compile_pauli_sum(ham, n)
+    hargs = sv.as_device(c)
+    hf_init = hf_bitstring_to_int(hf)
+    psi0 = sv.hf_state(n, hf_init)
+
+    def cost(params, gen_ids):
+        psi = jnp.asarray(psi0)
+        for q in range(n):
+            psi = jax.lax.switch(
+                gen_ids[q],
+                [lambda p, th, q=q: sv.apply_rx(p, th, q, n),
+                 lambda p, th, q=q: sv.apply_ry(p, th, q, n),
+                 lambda p, th, q=q: sv.apply_rz(p, th, q, n)],
+                psi, params[q])
+        for q in range(n - 1):
+            psi = sv.apply_cnot(psi, q, q + 1, n)
+        return sv.expectation(psi, *hargs)
+
+    def per_param(d, carry):
+        params, gens = carry
+        p0 = params.at[d].set(0.0)
+        M0 = cost(p0, gens)        # theta=0: generator-independent
+
+        def candidate(g):
+            gg = gens.at[d].set(g)
+            Mp = cost(p0.at[d].set(jnp.pi / 2.0), gg)
+            Mm = cost(p0.at[d].set(-jnp.pi / 2.0), gg)
+            a = jnp.arctan2(2.0 * M0 - Mp - Mm, Mp - Mm)
+            th = -jnp.pi / 2.0 - a
+            th = jnp.where(th <= -jnp.pi, th + 2.0 * jnp.pi, th)
+            return th, cost(p0.at[d].set(th), gg)
+
+        ths, vals = jax.vmap(candidate)(jnp.arange(3))
+        # the reference keeps the LAST generator on ties (<= comparison)
+        gbest = 2 - jnp.argmin(vals[::-1])
+        return (p0.at[d].set(ths[gbest]), gens.at[d].set(gbest))
+
+    @jax.jit
+    def run(params, gen_ids):
+        def cycle(carry, _):
+            return jax.lax.fori_loop(0, n, per_param, carry), None
+
+        (params, gens), _ = jax.lax.scan(cycle, (params, gen_ids), None,
+                                         length=n_steps)
+        return params, gens, cost(params, gens)
+
+    return run
+
+
 def run_rotoselect(num_iterations: int = 10, n_steps: int = 50,
                    qubit_counts: Optional[Sequence[int]] = None,
-                   seed: int = 42, verbose: bool = True) -> Dict:
+                   seed: int = 42, verbose: bool = True,
+                   fused: bool = False) -> Dict:
     """Experiment sweep (reference rotoselect.py:195-269)."""
     rng = np.random.RandomState(seed)
     hams = load_cs_hams()
@@ -101,8 +159,15 @@ def run_rotoselect(num_iterations: int = 10, n_steps: int = 50,
                      "std_rel_errs": [], "generators": []}
     for n_qubits in counts:
         ham, hf = hams[n_qubits]
-        cost = build_rotoselect_cost(ham, hf)
-        _ = float(cost(jnp.zeros(n_qubits), jnp.zeros(n_qubits, dtype=jnp.int32)))
+        if fused:
+            fused_run = build_fused_rotoselect(ham, hf, n_steps)
+            out = fused_run(jnp.zeros(n_qubits),
+                            jnp.ones(n_qubits, dtype=jnp.int32))
+            jax.block_until_ready(out[0])          # compile warm-up
+        else:
+            cost = build_rotoselect_cost(ham, hf)
+            _ = float(cost(jnp.zeros(n_qubits),
+                           jnp.zeros(n_qubits, dtype=jnp.int32)))
         durs, errs = [], []
         gen_ids = None
         e = None
@@ -110,9 +175,15 @@ def run_rotoselect(num_iterations: int = 10, n_steps: int = 50,
             params = rng.uniform(size=n_qubits)
             gen_ids = np.ones(n_qubits, dtype=np.int32)  # start from all-RY
             start = time()
-            for _ in range(n_steps):
-                params, gen_ids = rotoselect_cycle(cost, params, gen_ids)
-            e = float(cost(jnp.asarray(params), jnp.asarray(gen_ids)))
+            if fused:
+                p_j, g_j, e_j = fused_run(jnp.asarray(params),
+                                          jnp.asarray(gen_ids))
+                e = float(e_j)
+                gen_ids = np.asarray(g_j)
+            else:
+                for _ in range(n_steps):
+                    params, gen_ids = rotoselect_cycle(cost, params, gen_ids)
+                e = float(cost(jnp.asarray(params), jnp.asarray(gen_ids)))
             durs.append(time() - start)
             errs.append(rel_err(CCSD_ENERGY, e))
         results["mean_durations"].append(float(np.mean(durs)))

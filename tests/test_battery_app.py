@@ -66,3 +66,31 @@ def test_rotoselect_small():
     res = run_rotoselect(num_iterations=1, n_steps=10, qubit_counts=(2,),
                          verbose=False)
     assert res["mean_rel_errs"][0] < 1e-3
+
+
+def test_fused_rotoselect_matches_host_loop():
+    """The fully-fused (one-executable) rotoselect must reproduce the
+    host-loop optimizer trajectory."""
+    import jax.numpy as jnp
+    import numpy as np
+    from openvqe_tpu.apps.quantum_batteries import rotoselect as rs
+    from openvqe_tpu.apps.quantum_batteries.utils import load_cs_hams
+
+    ham, hf = load_cs_hams()[2]
+    n = ham.nbqbits
+    n_steps = 4
+    params0 = np.random.default_rng(0).uniform(size=n)
+
+    cost = rs.build_rotoselect_cost(ham, hf)
+    p_ref = params0.copy()
+    g_ref = np.ones(n, dtype=np.int32)
+    for _ in range(n_steps):
+        p_ref, g_ref = rs.rotoselect_cycle(cost, p_ref, g_ref)
+    e_ref = float(cost(jnp.asarray(p_ref), jnp.asarray(g_ref)))
+
+    fused = rs.build_fused_rotoselect(ham, hf, n_steps)
+    p_f, g_f, e_f = fused(jnp.asarray(params0),
+                          jnp.ones(n, dtype=jnp.int32))
+    assert np.array_equal(np.asarray(g_f), g_ref)
+    assert np.allclose(np.asarray(p_f), p_ref, atol=1e-9)
+    assert abs(e_f - e_ref) < 1e-10
