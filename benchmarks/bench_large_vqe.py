@@ -20,7 +20,10 @@ import sys
 import time
 
 
-def bench_chain(n_atoms: int, spacing: float = 1.0, repeats: int = 3):
+def bench_chain(n_atoms: int, spacing: float = 1.0, repeats: int = 3,
+                charge: int = 0):
+    """Hydrogen chain H_{n_atoms} (charge +1 for odd chains keeps the RHF
+    reference closed-shell — e.g. H13+ is the 26-qubit row)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -36,7 +39,7 @@ def bench_chain(n_atoms: int, spacing: float = 1.0, repeats: int = 3):
     t_setup = time.time()
     md = compute_molecule(
         [("H", (0, 0, spacing * k)) for k in range(n_atoms)], "sto-3g",
-        run_fci_flag=False)
+        charge=charge, run_fci_flag=False)
     hpq, hpqrs = convert_to_h_integrals(md.one_body_integrals,
                                         md.two_body_integrals)
     hsp = ElectronicStructureHamiltonian(
@@ -63,7 +66,7 @@ def bench_chain(n_atoms: int, spacing: float = 1.0, repeats: int = 3):
         times.append(time.time() - t0)
 
     return {
-        "system": f"H{n_atoms}",
+        "system": f"H{n_atoms}" + ("+" if charge == 1 else ""),
         "qubits": n,
         "h_terms": obj.ham.n_terms,
         "h_groups": obj.gham.n_groups,
@@ -86,7 +89,10 @@ def main():
 
     sizes = [int(a) for a in sys.argv[1:]] or [8, 10]
     for n_atoms in sizes:
-        print(json.dumps(bench_chain(n_atoms)), flush=True)
+        charge = n_atoms % 2          # odd chains run as closed-shell cations
+        repeats = 3 if n_atoms <= 12 else 1
+        print(json.dumps(bench_chain(n_atoms, charge=charge,
+                                     repeats=repeats)), flush=True)
 
 
 if __name__ == "__main__":
