@@ -118,11 +118,11 @@ def _split_seq(gseq: gr.GroupedOpSequence, d: int):
             gseq.s, gseq.op)
 
 
-def _local_ham_apply(psi_loc, h, d: int):
+def _local_ham_apply(psi_loc, h, d: int, include_const: bool = True):
     """H|psi> restricted to this device's block (h = _split_ham dict)."""
     coord = jax.lax.axis_index(AXIS)
     L, herm = h["n_loc"], h["hermitian"]
-    acc = h["c_re"] * psi_loc
+    acc = h["c_re"] * psi_loc if include_const else jnp.zeros_like(psi_loc)
     if len(h["zd_hi"]):
         sc = _coord_signs(jnp.asarray(h["zd_hi"]), coord, psi_loc.dtype)
         w_re = gr._sign_field(h["zd_lo"],
@@ -287,8 +287,11 @@ class ShardedVQEObjective:
 
         def l_energy_grad(theta, psi_loc, *seq6):
             p = _local_apply(psi_loc, theta, seq6, L, d)
-            e = jax.lax.psum(_local_expectation(p, h, d), AXIS)
-            lam = _local_ham_apply(p, h, d)
+            # one H pass serves both: e = Re<psi|lam> + const <psi|psi>
+            lam0 = _local_ham_apply(p, h, d, include_const=False)
+            e = jax.lax.psum(jnp.sum(p * lam0)
+                             + h["c_re"] * jnp.sum(p * p), AXIS)
+            lam = lam0 + h["c_re"] * p
             grad0 = jnp.zeros_like(theta)
             _, _, grad = _local_adjoint(theta, p, lam, grad0, seq6, L, d)
             return e, grad

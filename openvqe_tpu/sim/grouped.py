@@ -358,12 +358,18 @@ def grouped_expectation(psi, zd, adr, adi, gx, gz, gar, gai, c_re, c_im,
 
 
 def grouped_ham_apply(psi, zd, adr, adi, gx, gz, gar, gai, c_re, c_im,
-                      hermitian: bool):
-    """H|psi> over the grouped representation."""
+                      hermitian: bool, include_const: bool = True):
+    """H|psi> over the grouped representation.  With include_const=False the
+    identity offset is left out (callers recover it separately — the energy
+    path computes e = <psi|lam> + c_re <psi|psi> so the potentially large
+    constant never rides the f32 elementwise accumulation)."""
     psi = jnp.asarray(psi)
     n = psi.shape[-1].bit_length() - 1
-    acc = jnp.stack([c_re * psi[0] - c_im * psi[1],
-                     c_re * psi[1] + c_im * psi[0]])
+    if include_const:
+        acc = jnp.stack([c_re * psi[0] - c_im * psi[1],
+                         c_re * psi[1] + c_im * psi[0]])
+    else:
+        acc = jnp.zeros_like(psi)
     if len(zd):
         w_re = _sign_field(zd, jnp.asarray(adr, psi.dtype), n).reshape(-1)
         if hermitian:
@@ -508,8 +514,13 @@ def build_grouped_dynamic_energy_fn(gham: GroupedPauliSum):
     @jax.jit
     def energy_and_grad(theta, psi0, gx, gz, gs, gop):
         psi = apply_grouped_ops(psi0, theta, gx, gz, gs, gop)
-        e = grouped_expectation(psi, *hargs)
-        lam = grouped_ham_apply(psi, *hargs)
+        # one H pass serves both: e = Re<psi|lam> (+ the constant, added
+        # outside the elementwise accumulation for f32 safety)
+        lam0 = grouped_ham_apply(psi, *hargs, include_const=False)
+        c_re, c_im = hargs[7], hargs[8]
+        e = jnp.sum(psi * lam0) + c_re * jnp.sum(psi * psi)
+        lam = lam0 + jnp.stack([c_re * psi[0] - c_im * psi[1],
+                                c_re * psi[1] + c_im * psi[0]])
         grad0 = jnp.zeros_like(theta)
         _, _, grad = grouped_adjoint_sweep(theta, psi, lam, grad0,
                                            gx, gz, gs, gop)
@@ -643,9 +654,11 @@ def build_grouped_segmented_energy_fn(gham: GroupedPauliSum,
         out, _ = jax.lax.scan(step, acc, (gx, gz, gar, gai))
         return out
 
-    @jax.jit
-    def _diag_ham(psi):
-        acc = c_re * psi
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("include_const",))
+    def _diag_ham(psi, include_const: bool = True):
+        acc = c_re * psi if include_const else jnp.zeros_like(psi)
         if len(zd):
             w_re = _sign_field(zd, jnp.asarray(adr, psi.dtype), n).reshape(-1)
             acc = acc + w_re[None, :] * psi
@@ -717,11 +730,25 @@ def build_grouped_segmented_energy_fn(gham: GroupedPauliSum,
     def energy(theta, psi0, seq_args):
         return _expectation(forward(theta, psi0, seq_args))
 
+    @jax.jit
+    def _dot_energy(psi, lam0):
+        # e = Re<psi|lam0> + const * <psi|psi>: the (often large) identity
+        # offset never rides the f32 elementwise accumulation
+        return jnp.sum(psi * lam0) + c_re * jnp.sum(psi * psi)
+
+    @jax.jit
+    def _add_const(psi, lam0):
+        return lam0 + c_re * psi
+
     def energy_and_grad(theta, psi0, seq_args):
         theta = jnp.asarray(theta, dtype=rd)
         psi = forward(theta, psi0, seq_args)
-        e = _expectation(psi)
-        lam = _lham(psi)
+        # ONE H pass serves both the energy and the adjoint seed
+        lam0 = _diag_ham(psi, include_const=False)
+        for i in range(n_seg):
+            lam0 = _ham_seg(psi, lam0, hx[i], hz[i], har[i], hai[i])
+        e = float(_dot_energy(psi, lam0))
+        lam = _add_const(psi, lam0)
         segs = _seq_segments(seq_args)
         grad = jnp.zeros(theta.shape, dtype=rd)
         if segs is not None:

@@ -89,8 +89,10 @@ class VQEObjective:
         @jax.jit
         def p_energy_and_grad(theta, psi0, pargs, xargs):
             psi = pk.apply_grouped_ops_pallas(psi0, theta, *pargs)
-            e = _expect(psi)
-            lam = gr.grouped_ham_apply(psi, *hargs_x)
+            # one H pass serves both: e = Re<psi|lam> + const <psi|psi>
+            lam0 = gr.grouped_ham_apply(psi, *hargs_x, include_const=False)
+            e = jnp.sum(psi * lam0) + c_re * jnp.sum(psi * psi)
+            lam = lam0 + c_re * psi
             grad0 = jnp.zeros_like(theta)
             _, _, grad = gr.grouped_adjoint_sweep(theta, psi, lam, grad0,
                                                   *xargs)
