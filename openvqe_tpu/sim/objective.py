@@ -57,8 +57,10 @@ class VQEObjective:
         # Pallas fused kernels: VMEM-resident rotation sweep + expectation
         # (TPU, f32, 14 <= n <= 20 — sim/pallas_kernels.py); the adjoint and
         # H|psi> stay on the XLA grouped path
+        import os
         self._pallas = (not self.segmented and pk.pallas_supported(self.n)
-                        and sv.default_rdtype() == np.float32)
+                        and sv.default_rdtype() == np.float32
+                        and os.environ.get("OVQE_PALLAS", "1") != "0")
         if self._pallas:
             self._build_pallas_programs()
         self._fallback_fns = None       # built lazily for non-odd-Y ansaetze
@@ -86,16 +88,50 @@ class VQEObjective:
             psi = pk.apply_grouped_ops_pallas(psi0, theta, *pargs)
             return _expect(psi)
 
+        two_state = pk.pallas_2state_supported(n)
+        adi = gham.a_diag_im
+        hermitian = gham.hermitian
+
+        def _diag_field(psi):
+            """diag(x=0) part of H|psi> (the pallas H kernel covers the
+            off-diagonal groups)."""
+            if not len(zd):
+                return jnp.zeros_like(psi)
+            w_re = gr._sign_field(zd, jnp.asarray(adr, psi.dtype),
+                                  n).reshape(-1)
+            out = w_re[None, :] * psi
+            if not hermitian:
+                w_im = gr._sign_field(zd, jnp.asarray(adi, psi.dtype),
+                                      n).reshape(-1)
+                out = out + jnp.stack([-w_im * psi[1], w_im * psi[0]])
+            return out
+
         @jax.jit
         def p_energy_and_grad(theta, psi0, pargs, xargs):
             psi = pk.apply_grouped_ops_pallas(psi0, theta, *pargs)
             # one H pass serves both: e = Re<psi|lam> + const <psi|psi>
-            lam0 = gr.grouped_ham_apply(psi, *hargs_x, include_const=False)
+            if two_state:
+                lam0 = pk.ham_apply_pallas(psi, *hargs_p) + _diag_field(psi)
+            else:
+                lam0 = gr.grouped_ham_apply(psi, *hargs_x,
+                                            include_const=False)
             e = jnp.sum(psi * lam0) + c_re * jnp.sum(psi * psi)
             lam = lam0 + c_re * psi
-            grad0 = jnp.zeros_like(theta)
-            _, _, grad = gr.grouped_adjoint_sweep(theta, psi, lam, grad0,
-                                                  *xargs)
+            if two_state:
+                # pallas adjoint over REVERSED groups; per-group gradient
+                # entries segment-summed into the parameters
+                x_top, x_mid, x_lane, op = (pargs[0][::-1], pargs[1][::-1],
+                                            pargs[2][::-1], pargs[3][::-1])
+                angles = -jnp.asarray(theta, jnp.float32)[op]
+                _, _, gts = pk.adjoint_sweep_pallas(
+                    psi, lam, x_top, x_mid, x_lane, angles,
+                    pargs[4][::-1], pargs[5][::-1], pargs[6][::-1])
+                grad = jax.ops.segment_sum(gts.astype(theta.dtype), op,
+                                           num_segments=theta.shape[0])
+            else:
+                grad0 = jnp.zeros_like(theta)
+                _, _, grad = gr.grouped_adjoint_sweep(theta, psi, lam, grad0,
+                                                      *xargs)
             return e, grad
 
         @jax.jit

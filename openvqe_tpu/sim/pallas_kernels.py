@@ -359,3 +359,210 @@ def expectation_pallas(psi, x_top, x_mid, x_lane, w_lane, w_lane_im,
     )(jnp.asarray(x_top), jnp.asarray(x_mid), jnp.asarray(x_lane), w_lane,
       w_lane_im, s_mid, s_top, psi4)
     return out[0, 0]
+
+
+# ------------------------------------------------- H-apply / adjoint kernels
+#
+# Two-state kernels: H|psi> needs (psi, acc) and the reversible adjoint
+# needs (p, l) resident — 2 * 2^n * 4 B each, so these run at
+# MIN_N <= n <= MAX_N_2STATE (the single-state sweep/expectation kernels
+# reach MAX_N).  The adjoint grid iterates the group arrays in REVERSED
+# order (pass reversed operands); per-group gradient entries land in a
+# (G, 128) buffer segment-summed into ops by the XLA caller.
+
+MAX_N_2STATE = 19
+
+
+def pallas_2state_supported(n: int) -> bool:
+    return (MIN_N <= n <= MAX_N_2STATE
+            and jax.default_backend() not in ("cpu",))
+
+
+def _ham_kernel(xtop_ref, xmid_ref, xlane_ref, wl_ref, wli_ref, sm_ref,
+                st_ref, psi_ref, acc_ref):
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    xt = xtop_ref[g]
+    plo = _perm_kernel_matrix(xlane_ref[g])
+    pmid = _perm_kernel_matrix(xmid_ref[g])
+    wl = wl_ref[0]
+    wli = wli_ref[0]
+    sm = sm_ref[0]
+    T = psi_ref.shape[1]
+
+    def perm(m):
+        return _mm(_mm(pmid, m), plo)
+
+    def body(t, _):
+        tt = jax.lax.bitwise_xor(jnp.asarray(t, xt.dtype), xt)
+        px0 = perm(psi_ref[0, tt])
+        px1 = perm(psi_ref[1, tt])
+        strow = st_ref[0, pl.ds(t, 1), :]
+        smr = sm * strow
+        Wre = _mm(smr, wl)
+        Wim = _mm(smr, wli)
+        acc_ref[0, t] += Wre * px0 - Wim * px1
+        acc_ref[1, t] += Wre * px1 + Wim * px0
+
+    jax.lax.fori_loop(0, T, body, None)
+
+
+def ham_apply_pallas(psi, x_top, x_mid, x_lane, w_lane, w_lane_im, s_mid,
+                     s_top, interpret: bool = False):
+    """Off-diagonal grouped H|psi> (diagonal + constant handled by the XLA
+    caller); psi (2, 2^n) f32 -> (2, 2^n) f32."""
+    G, K = w_lane.shape[0], w_lane.shape[1]
+    T = s_top.shape[1]
+    psi4 = _psi4(jnp.asarray(psi, jnp.float32))
+
+    specs = _group_specs(T, K)
+    specs.insert(1, pl.BlockSpec((1, K, LANE), lambda g, *refs: (g, 0, 0),
+                                 memory_space=pltpu.VMEM))  # w_lane_im
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(G,),
+        in_specs=[
+            *specs,
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # psi (resident)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _ham_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(psi4.shape, jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(jnp.asarray(x_top), jnp.asarray(x_mid), jnp.asarray(x_lane), w_lane,
+      w_lane_im, s_mid, s_top, psi4)
+    return out.reshape(2, -1)
+
+
+def _adjoint_kernel(xtop_ref, xmid_ref, xlane_ref, ang_ref, wl_ref, sm_ref,
+                    st_ref, p_in_ref, l_in_ref, p_ref, l_ref, gt_ref,
+                    acc_ref):
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        p_ref[...] = p_in_ref[...]
+        l_ref[...] = l_in_ref[...]
+
+    xt = xtop_ref[g]
+    ang = ang_ref[g]
+    plo = _perm_kernel_matrix(xlane_ref[g])
+    pmid = _perm_kernel_matrix(xmid_ref[g])
+    wl = wl_ref[0]
+    sm = sm_ref[0]
+    T = p_ref.shape[1]
+
+    def perm(m):
+        return _mm(_mm(pmid, m), plo)
+
+    def phi(t):
+        strow = st_ref[0, pl.ds(t, 1), :]
+        return _mm(sm * strow, wl)
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def tile_update(t, tt):
+        """Un-rotated values for tile t of p and l (reading partner tile
+        tt) and the tile's gradient contribution — pure reads."""
+        ph = phi(t)
+        B = ang * ph
+        c, s = jnp.cos(B), jnp.sin(B)
+        pxp0 = perm(p_ref[0, tt])
+        pxp1 = perm(p_ref[1, tt])
+        pxl0 = perm(l_ref[0, tt])
+        pxl1 = perm(l_ref[1, tt])
+        gtc = -2.0 * jnp.sum(ph * (l_ref[0, t] * pxp0 + l_ref[1, t] * pxp1))
+        return gtc, (c * p_ref[0, t] - s * pxp0, c * p_ref[1, t] - s * pxp1,
+                     c * l_ref[0, t] - s * pxl0, c * l_ref[1, t] - s * pxl1)
+
+    def body(t, _):
+        tt = jax.lax.bitwise_xor(jnp.asarray(t, xt.dtype), xt)
+
+        @pl.when(jnp.logical_or(xt == 0, t < tt))
+        def _():
+            gtc, (np0, np1, nl0, nl1) = tile_update(t, tt)
+            acc_ref[0, :] += gtc
+
+            @pl.when(xt != 0)
+            def _():
+                gtp, (mp0, mp1, ml0, ml1) = tile_update(tt, t)
+                acc_ref[0, :] += gtp
+                p_ref[0, tt] = mp0
+                p_ref[1, tt] = mp1
+                l_ref[0, tt] = ml0
+                l_ref[1, tt] = ml1
+
+            p_ref[0, t] = np0
+            p_ref[1, t] = np1
+            l_ref[0, t] = nl0
+            l_ref[1, t] = nl1
+
+        return 0
+
+    jax.lax.fori_loop(0, T, body, 0)
+    # per-group gradient entry: row g % 8 of the (G // 8)-blocked output
+    gt_ref[g % 8, :] = acc_ref[0, :]
+
+
+def adjoint_sweep_pallas(p, lam, x_top, x_mid, x_lane, angles, w_lane, s_mid,
+                         s_top, interpret: bool = False):
+    """Reversible adjoint over grouped rotations (operands must be passed in
+    REVERSED group order).  Returns (p_prev, lam_prev, per-group gradient
+    entries); the caller segment-sums entries into parameters.  angles =
+    -theta[op] per (reversed) group.  G must be a multiple of 8 (the padded
+    buckets always are)."""
+    G0 = w_lane.shape[0]
+    if G0 % 8:
+        # pad to a multiple of 8 with identity groups (zero weights)
+        pad = 8 - G0 % 8
+
+        def p8(a):
+            return jnp.pad(jnp.asarray(a),
+                           [(0, pad)] + [(0, 0)] * (np.ndim(a) - 1))
+
+        x_top, x_mid, x_lane = p8(x_top), p8(x_mid), p8(x_lane)
+        angles, w_lane = p8(angles), p8(w_lane)
+        s_mid, s_top = p8(s_mid), p8(s_top)
+    G, K = w_lane.shape[0], w_lane.shape[1]
+    T = s_top.shape[1]
+    p4 = _psi4(jnp.asarray(p, jnp.float32))
+    l4 = _psi4(jnp.asarray(lam, jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(G,),
+        in_specs=[
+            *_group_specs(T, K),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # p (resident)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # l (resident)
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANE), lambda g, *refs: (g // 8, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((8, LANE), jnp.float32)],
+    )
+    p_out, l_out, gts = pl.pallas_call(
+        _adjoint_kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct(p4.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(l4.shape, jnp.float32),
+                   jax.ShapeDtypeStruct((G, LANE), jnp.float32)),
+        input_output_aliases={7: 0, 8: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(jnp.asarray(x_top), jnp.asarray(x_mid), jnp.asarray(x_lane),
+      jnp.asarray(angles), w_lane, s_mid, s_top, p4, l4)
+    return p_out.reshape(2, -1), l_out.reshape(2, -1), gts[:G0, 0]

@@ -104,3 +104,56 @@ def test_expectation_parity(problem15):
     e_pal = float(pk.expectation_pallas(psi, *pk.ham_args(gd),
                                         interpret=True))
     assert abs(e_pal - e_ref) < 1e-5 * max(1.0, abs(e_ref))
+
+
+def test_ham_apply_parity(problem15):
+    n, _, ham = problem15
+    gham = gr.group_pauli_sum(compile_pauli_sum(ham, n))
+    gd = pk.ham_group_data(gham)
+    psi = _rand_state(n, seed=21)
+
+    hargs32 = tuple(
+        a.astype(np.float32) if getattr(a, "dtype", None) == np.float64
+        else a for a in gr.ham_as_device(gham))
+    ref = np.asarray(gr.grouped_ham_apply(psi, *hargs32))
+    # pallas covers the off-diagonal groups; this synthetic H has no
+    # diagonal terms or constant
+    out = np.asarray(pk.ham_apply_pallas(psi, *pk.ham_args(gd),
+                                         interpret=True))
+    assert np.max(np.abs(out - ref)) < 1e-6
+
+
+def test_adjoint_sweep_parity(problem15):
+    n, gens, ham = problem15
+    gseq = gr.group_op_sequence(compile_op_sequence(gens, n))
+    gd = pk.seq_group_data(gseq)
+    gham = gr.group_pauli_sum(compile_pauli_sum(ham, n))
+    rng = np.random.default_rng(17)
+    theta = jnp.asarray(rng.normal(scale=0.3, size=len(gens)), jnp.float32)
+
+    sargs32 = tuple(
+        a.astype(np.float32) if getattr(a, "dtype", None) == np.float64
+        else a for a in gr.seq_as_device(gseq))
+    hargs32 = tuple(
+        a.astype(np.float32) if getattr(a, "dtype", None) == np.float64
+        else a for a in gr.ham_as_device(gham))
+    psi = gr.apply_grouped_ops(_rand_state(n, seed=5), theta, *sargs32)
+    lam = gr.grouped_ham_apply(psi, *hargs32)
+
+    grad0 = jnp.zeros_like(theta)
+    p_ref, l_ref, g_ref = gr.grouped_adjoint_sweep(theta, psi, lam, grad0,
+                                                   *sargs32)
+
+    # pallas adjoint: reversed group order, per-group entries segment-summed
+    rev = lambda a: np.ascontiguousarray(np.asarray(a)[::-1])
+    angles = -np.asarray(theta)[gd.op][::-1].astype(np.float32)
+    p_out, l_out, gts = pk.adjoint_sweep_pallas(
+        psi, lam, rev(gd.x_top), rev(gd.x_mid), rev(gd.x_lane),
+        np.ascontiguousarray(angles), rev(gd.w_lane), rev(gd.s_mid),
+        rev(gd.s_top), interpret=True)
+    g_pal = np.zeros(len(gens), dtype=np.float64)
+    np.add.at(g_pal, np.asarray(gd.op)[::-1], np.asarray(gts, np.float64))
+
+    assert np.max(np.abs(np.asarray(p_ref) - np.asarray(p_out))) < 1e-5
+    assert np.max(np.abs(np.asarray(l_ref) - np.asarray(l_out))) < 1e-4
+    assert np.max(np.abs(np.asarray(g_ref) - g_pal)) < 1e-5
