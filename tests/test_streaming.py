@@ -1,0 +1,131 @@
+"""Parity tests for the streaming (HBM-resident) Pallas kernels against the
+XLA grouped path — interpret mode on the CPU mesh (hardware parity is
+asserted by scripts/tpu_smoke.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from openvqe_tpu.sim import grouped as gr
+from openvqe_tpu.sim import streaming as st
+
+N = 18  # smallest size with chunk pairing (T=16 tiles, C=8, H=2 chunks)
+
+
+def _random_groups(rng, G, K, n, odd_y=True):
+    """Random grouped term arrays (x (G,), z (G,K), coef (G,K))."""
+    x = rng.integers(0, 1 << n, size=G).astype(np.int32)
+    x[0] = 0                                   # exercise the x_top==0 path
+    x[1] = 3                                   # in-tile only
+    x[2] = (5 << st.TILE_BITS) | 9             # in-chunk tile bits + in-tile
+    z = rng.integers(0, 1 << n, size=(G, K)).astype(np.int32)
+    coef = rng.normal(size=(G, K)).astype(np.float32) * 0.3
+    return x, z, coef
+
+
+def _random_state(rng, n):
+    psi = rng.normal(size=(2, 1 << n)).astype(np.float32)
+    psi /= np.linalg.norm(psi)
+    return psi
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(7)
+    G, K = 6, 4
+    x, z, coef = _random_groups(rng, G, K, N)
+    op = np.arange(G, dtype=np.int32) % 3
+    theta = rng.normal(size=3).astype(np.float32) * 0.2
+    psi = _random_state(rng, N)
+    return x, z, coef, op, theta, psi
+
+
+def test_rotation_sweep_parity(data):
+    x, z, coef, op, theta, psi = data
+    ref = gr.apply_grouped_ops(jnp.asarray(psi), jnp.asarray(theta),
+                               jnp.asarray(x), jnp.asarray(z),
+                               jnp.asarray(coef), jnp.asarray(op))
+    sd = st.build_stream_data(N, x, z, coef, op=op)
+    out = st.apply_grouped_ops_stream(psi, theta, *st.seq_stream_args(sd),
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-6)
+
+
+def test_expectation_parity(data):
+    x, z, coef, op, theta, psi = data
+    rng = np.random.default_rng(8)
+    cim = rng.normal(size=coef.shape).astype(np.float32) * 0.1
+
+    # reference: scan accumulation of the off-diagonal grouped expectation
+    n = N
+    R, lanes = gr._lane_split(n)
+    tot = jnp.zeros((), jnp.float32)
+
+    def step(acc, g):
+        xg, zg, ar, ai = g
+        px = gr.xor_perm(jnp.asarray(psi), xg)
+        P = (psi[0] * px[0] + psi[1] * px[1]).reshape(R, lanes)
+        Q = (psi[0] * px[1] - psi[1] * px[0]).reshape(R, lanes)
+        acc = acc + jnp.sum(ar * gr._group_bilinear(P, zg, n))
+        acc = acc - jnp.sum(ai * gr._group_bilinear(Q, zg, n))
+        return acc, None
+
+    ref, _ = jax.lax.scan(step, tot, (jnp.asarray(x), jnp.asarray(z),
+                                      jnp.asarray(coef), jnp.asarray(cim)))
+
+    sd = st.build_stream_data(N, x, z, coef, coef_im=cim)
+    out = st.expectation_stream(psi, *st.ham_stream_args(sd), interpret=True)
+    np.testing.assert_allclose(float(out), float(ref), rtol=0, atol=1e-5)
+
+
+def test_ham_apply_parity(data):
+    x, z, coef, op, theta, psi = data
+    rng = np.random.default_rng(9)
+    cim = rng.normal(size=coef.shape).astype(np.float32) * 0.1
+
+    def step(a, g):
+        xg, zg, ar, ai = g
+        px = gr.xor_perm(jnp.asarray(psi), xg)
+        w_re = gr._sign_field(zg, ar, N).reshape(-1)
+        w_im = gr._sign_field(zg, ai, N).reshape(-1)
+        a = a + jnp.stack([w_re * px[0] - w_im * px[1],
+                           w_re * px[1] + w_im * px[0]])
+        return a, None
+
+    ref, _ = jax.lax.scan(step, jnp.zeros_like(jnp.asarray(psi)),
+                          (jnp.asarray(x), jnp.asarray(z),
+                           jnp.asarray(coef), jnp.asarray(cim)))
+
+    sd = st.build_stream_data(N, x, z, coef, coef_im=cim)
+    acc0 = np.zeros_like(psi)
+    out = st.ham_apply_stream(psi, acc0, *st.ham_stream_args(sd),
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
+def test_adjoint_parity(data):
+    x, z, coef, op, theta, psi = data
+    rng = np.random.default_rng(10)
+    lam = _random_state(rng, N)
+    grad0 = jnp.zeros(3, jnp.float32)
+    p_ref, l_ref, g_ref = gr.grouped_adjoint_sweep(
+        jnp.asarray(theta), jnp.asarray(psi), jnp.asarray(lam), grad0,
+        jnp.asarray(x), jnp.asarray(z), jnp.asarray(coef), jnp.asarray(op))
+
+    sd = st.build_stream_data(N, x, z, coef, op=op)
+    rev = slice(None, None, -1)
+    angles = -np.asarray(theta)[sd.op[rev]]
+    p_out, l_out, gts = st.adjoint_sweep_stream(
+        psi, lam, sd.x_huge[rev], sd.mb[rev], sd.n_outer[rev],
+        sd.x_chunk[rev], sd.x_mid[rev], sd.x_lane[rev], angles,
+        sd.z_r[rev], sd.z_c[rev], sd.cre[rev], interpret=True)
+    grad = jax.ops.segment_sum(gts, jnp.asarray(sd.op[rev]), num_segments=3)
+    np.testing.assert_allclose(np.asarray(p_out), np.asarray(p_ref),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l_out), np.asarray(l_ref),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
