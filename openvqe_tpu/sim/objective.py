@@ -27,6 +27,7 @@ from ..ops.pauli import PauliSum
 from . import grouped as gr
 from . import pallas_kernels as pk
 from . import statevector as sv
+from . import streaming as st
 from .compile import compile_op_sequence, compile_pauli_sum
 
 
@@ -63,6 +64,16 @@ class VQEObjective:
                         and os.environ.get("OVQE_PALLAS", "1") != "0")
         if self._pallas:
             self._build_pallas_programs()
+        # streaming Pallas kernels: HBM-resident state for 21+ qubits
+        # (sim/streaming.py) — replaces the XLA grouped segmented path on
+        # the forward sweep, <H>, H|psi>, and adjoint
+        self._streaming = (self.segmented and st.streaming_supported(self.n)
+                           and sv.default_rdtype() == np.float32
+                           and os.environ.get("OVQE_STREAM", "1") != "0")
+        if self._streaming:
+            (self._st_energy, self._st_energy_and_grad, self._st_forward,
+             self._st_lham, self._st_expect, self._st_prepare) = \
+                st.build_streaming_energy_fn(self.gham)
         self._fallback_fns = None       # built lazily for non-odd-Y ansaetze
         self._psi0_cache: Dict[int, np.ndarray] = {}
 
@@ -173,9 +184,14 @@ class VQEObjective:
                 # few MB and must not ride host->device on every call
                 pargs = tuple(jnp.asarray(a)
                               for a in pk.seq_args(pk.seq_group_data(gseq)))
+            stargs = None
+            if self._streaming and gseq.n_groups:
+                stargs = self._st_prepare(
+                    st.seq_stream_args(st.stream_seq_data(gseq)))
             sargs = tuple(jnp.asarray(a) for a in gr.seq_as_device(gseq))
             return BoundAnsatz(self, sargs, self._psi0(hf_init),
-                               len(generators), grouped=True, pargs=pargs)
+                               len(generators), grouped=True, pargs=pargs,
+                               stargs=stargs)
         if not self.segmented:
             seq = sv.pad_sequence(seq, sv.bucket_size(max(seq.n_terms, 1)))
         return BoundAnsatz(self, sv.seq_as_device(seq, self.cdtype),
@@ -183,11 +199,15 @@ class VQEObjective:
 
     # device-side Hamiltonian services (used by ADAPT fidelity/Lanczos)
     def ham_apply(self, psi):
+        if self._streaming:
+            return self._st_lham(jnp.asarray(psi))
         if self.segmented:
             return self._seg_lham(jnp.asarray(psi))
         return self._lham(jnp.asarray(psi))
 
     def expectation(self, psi) -> float:
+        if self._streaming:
+            return self._st_expect(jnp.asarray(psi))
         if self.segmented:
             return float(self._seg_expect(jnp.asarray(psi)))
         return float(gr.grouped_expectation(jnp.asarray(psi),
@@ -197,16 +217,19 @@ class VQEObjective:
 class BoundAnsatz:
 
     def __init__(self, objective: VQEObjective, seq_args, psi0, n_ops: int,
-                 grouped: bool = True, pargs=None):
+                 grouped: bool = True, pargs=None, stargs=None):
         self._obj = objective
         self._seq_args = seq_args
         self._psi0 = psi0
         self._grouped = grouped
         self._pargs = pargs        # pallas group operands (or None)
+        self._stargs = stargs      # streaming prepared segments (or None)
         self.n_ops = n_ops
 
     def energy(self, theta) -> float:
         obj = self._obj
+        if self._stargs is not None:
+            return float(obj._st_energy(theta, self._psi0, self._stargs))
         if self._pargs is not None:
             return float(obj._p_energy(jnp.asarray(theta, dtype=float),
                                        jnp.asarray(self._psi0), self._pargs))
@@ -225,6 +248,8 @@ class BoundAnsatz:
 
     def energy_and_grad(self, theta) -> Tuple[float, np.ndarray]:
         obj = self._obj
+        if self._stargs is not None:
+            return obj._st_energy_and_grad(theta, self._psi0, self._stargs)
         if self._pargs is not None:
             e, g = obj._p_energy_and_grad(jnp.asarray(theta, dtype=float),
                                           jnp.asarray(self._psi0),
@@ -250,6 +275,8 @@ class BoundAnsatz:
     def forward(self, theta):
         """Final statevector planes (device array, shape (2, 2^n))."""
         obj = self._obj
+        if self._stargs is not None:
+            return obj._st_forward(theta, self._psi0, self._stargs)
         theta = jnp.asarray(theta, dtype=float)
         if self._pargs is not None:
             return obj._p_forward(theta, jnp.asarray(self._psi0),

@@ -158,11 +158,57 @@ def slice_args(args, lo: int, hi: int):
 
 
 # ---------------------------------------------------------------- kernels
+#
+# All per-chunk work is CHUNK-VECTORIZED: the in-tile permutation runs as
+# two C-batched MXU matmuls per plane (no per-tile dispatch), the in-chunk
+# tile XOR as a roll+select chain over the (tiny) tile axis, and the three
+# pairing modes (cross-chunk, intra-chunk, self) collapse to ONE functional
+# update formula — newA = cos(B) A + sin(B) roll_xc(perm(PARTNER)) — because
+# chunk updates are computed out of place (no read/write hazard, no i<ii
+# guards, no inner tile loop).
 
-def _mm(a, b):
-    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+def _mm(a, b, dims):
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
                                preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.HIGHEST)
+
+
+# Permutation matmuls: the {0,1} side is exactly bf16-representable, so only
+# the STATE side needs limb-splitting — 3 bf16 MXU passes (residual ~2^-27,
+# better than f32) vs Precision.HIGHEST's 6 passes on both operands.
+# OVQE_STREAM_MM=highest restores full-precision A/B runs.
+import os as _os
+
+_STREAM_MM = _os.environ.get("OVQE_STREAM_MM", "bf16x3").lower()
+if _STREAM_MM not in ("bf16x3", "highest"):
+    raise ValueError(f"OVQE_STREAM_MM must be bf16x3|highest, got {_STREAM_MM}")
+
+
+def _split_limbs(x, limbs: int = 3):
+    """f32 -> bf16 limbs by BITMASK truncation (the textbook ``x - bf16(x)``
+    split miscompiles on this backend — see statevector._split_bf16)."""
+    parts = []
+    r = x
+    for _ in range(limbs - 1):
+        ri = pltpu.bitcast(r, jnp.uint32)
+        h = pltpu.bitcast(ri & np.uint32(0xFFFF0000), jnp.float32)
+        parts.append(h.astype(jnp.bfloat16))
+        r = r - h
+    parts.append(r.astype(jnp.bfloat16))
+    return parts
+
+
+def _pmm(X, P, dims):
+    """X (state side, f32) contracted with P (exact {0,1} side)."""
+    if _STREAM_MM == "highest":
+        return _mm(X, P, dims)
+    P16 = P.astype(jnp.bfloat16)
+    out = None
+    for limb in _split_limbs(X):
+        c = jax.lax.dot_general(limb, P16, (dims, ((), ())),
+                                preferred_element_type=jnp.float32)
+        out = c if out is None else out + c
+    return out
 
 
 def _perm_matrix(x_scalar):
@@ -182,36 +228,59 @@ def _parity_sign(v):
     return (1 - 2 * (p & 1)).astype(jnp.float32)
 
 
-class _GroupCtx:
-    """Per-grid-step in-kernel context: permutation matrices and sign/weight
-    building blocks constructed from the streamed (K,) rows."""
+def _xor_roll(m, x_scalar, axis):
+    """m[..., i ^ x, ...] along ``axis`` via roll+select chains — pure data
+    movement, bitwise-exact.  Used only on the C-sized tile axis (a few
+    bits); the 128-sized sublane/lane XORs are faster on the MXU.  Mosaic
+    cannot branch vector values on a scalar, so the dynamic mask bit rides
+    the elementwise select condition."""
+    size = m.shape[axis]
+    idx = jax.lax.broadcasted_iota(jnp.int32, m.shape, axis)
+    for b in range(size.bit_length() - 1):
+        s = 1 << b
+        bit_set = ((x_scalar >> b) & 1) != 0
+        hi = jnp.logical_and(bit_set, (idx & s) != 0)
+        lo = jnp.logical_and(bit_set, (idx & s) == 0)
+        # i^s = i - s where bit b of i is set, i + s where clear
+        m = jnp.where(hi, pltpu.roll(m, s, axis),
+                      jnp.where(lo, pltpu.roll(m, size - s, axis), m))
+    return m
 
-    def __init__(self, x_mid, x_lane, zr, zc, cre, cim=None):
-        self.plo = _perm_matrix(x_lane)
+
+class _GroupCtx:
+    """Per-grid-step in-kernel context, built from the streamed (K,) rows:
+    permutation matrices (sublane/lane XOR) and sign/weight field blocks."""
+
+    def __init__(self, x_mid, x_lane, x_chunk, zr, zc, cre, cim=None):
+        self.xc = x_chunk
         self.pmid = _perm_matrix(x_mid)
-        sub_i = jax.lax.broadcasted_iota(jnp.int32, zc.shape[:1] + (SUB, 1),
-                                         1)[0] if False else None
-        # SM (128, K): sublane signs; built from the row-layout z block
-        si = jax.lax.broadcasted_iota(jnp.int32, (SUB,) + (zc.shape[-1],), 0)
+        self.plo = _perm_matrix(x_lane)
+        # SM (128, K): sublane signs (row-layout z block broadcasts on K)
+        si = jax.lax.broadcasted_iota(jnp.int32, (SUB, zc.shape[-1]), 0)
         self.SM = _parity_sign(si & ((zc >> 7) & (SUB - 1)))
-        # WL (K, 128): lane signs * coefficients; column-layout blocks
+        # WL (K, 128): lane signs * coefficients (column-layout blocks)
         li = jax.lax.broadcasted_iota(jnp.int32, (zr.shape[0], LANE), 1)
         lane_s = _parity_sign(li & (zr & (LANE - 1)))
         self.WLre = cre * lane_s
         self.WLim = None if cim is None else cim * lane_s
-        self.zhi = zr >> TILE_BITS        # (K, 1)
+        self.zhi_row = (zc >> TILE_BITS)        # (1, K)
 
-    def srow(self, t):
-        """(K, 1) tile sign column for global tile index t (traced)."""
-        return _parity_sign(t & self.zhi)
+    def perm(self, X):
+        """Partner content for chunk X (C, 128, 128): in-tile index XOR via
+        two C-batched MXU matmuls, in-chunk tile XOR via roll chains.
+        out[i] = Pmid @ X[i ^ x_chunk] @ Plo."""
+        U = _pmm(X, self.pmid, ((1,), (0,)))    # (C, lane, sub')
+        V = _pmm(U, self.plo, ((1,), (0,)))     # (C, sub', lane')
+        return _xor_roll(V, self.xc, 0)
 
-    def perm(self, m):
-        return _mm(_mm(self.pmid, m), self.plo)
-
-    def field(self, w, t):
-        """(128, 128) sign/weight field sum_k w[k] s_k(sub) s_k(lane)
-        s_k(tile=t): one (128,K)@(K,128) MXU op."""
-        return _mm(self.SM, self.srow(t) * w)
+    def field(self, W, h, C):
+        """(C, 128, 128) sign/weight field for tiles h*C + [0..C):
+        F[i] = SM @ (srow_i * W) as one C-batched MXU op."""
+        ti = jax.lax.broadcasted_iota(jnp.int32, (C, self.zhi_row.shape[-1]),
+                                      0) + h * C
+        srow = _parity_sign(ti & self.zhi_row)          # (C, K)
+        A2 = srow[:, None, :] * self.SM[None, :, :]     # (C, 128, K)
+        return _mm(A2, self.WLre if W == "re" else self.WLim, ((2,), (0,)))
 
 
 def _pair_index(i, xh, mb):
@@ -228,6 +297,21 @@ def _copy_chunk(src, dst, sem):
     return d
 
 
+def _dma_chunks(pairs, sems):
+    """Start DMAs for [(src, dst), ...] and wait them all."""
+    ds = [_copy_chunk(src, dst, sems.at[k]) for k, (src, dst) in
+          enumerate(pairs)]
+    for d in ds:
+        d.wait()
+
+
+def _resolve_interpret(interpret):
+    """None -> interpret on CPU (tests), compiled on TPU."""
+    if interpret is None:
+        return jax.default_backend() == "cpu"
+    return interpret
+
+
 # -------------------------------------------------------- rotation sweep
 
 def _rot_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
@@ -237,78 +321,40 @@ def _rot_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
     xh = xh_ref[g]
     mb = mb_ref[g]
     nout = nout_ref[g]
-    xc = xc_ref[g]
     ang = ang_ref[g]
-    ctx = _GroupCtx(xm_ref[g], xl_ref[g], zr_ref[0], zc_ref[0], cre_ref[0])
+    ctx = _GroupCtx(xm_ref[g], xl_ref[g], xc_ref[g], zr_ref[0], zc_ref[0],
+                    cre_ref[0])
     C = bufA.shape[1]
 
-    def rot(a0, a1, b0, b1, t):
-        """cos(B_t) a + sin(B_t) perm(b) for tile t (both planes)."""
-        B = ang * ctx.field(ctx.WLre, t)
+    def rot_chunk(dst, src, partner, h):
+        """dst <- cos(B) src + sin(B) roll_xc(perm(partner)) per plane."""
+        B = ang * ctx.field("re", h, C)
         c, s = jnp.cos(B), jnp.sin(B)
-        return (c * a0 + s * ctx.perm(b0), c * a1 + s * ctx.perm(b1))
+        dst[0] = c * src[0] + s * ctx.perm(partner[0])
+        dst[1] = c * src[1] + s * ctx.perm(partner[1])
 
     def outer(i, _):
         h = _pair_index(i, xh, mb)
         hh = h ^ xh
-        d = [_copy_chunk(psi_ref.at[p, pl.ds(h * C, C)], bufA.at[p],
-                         sems.at[p]) for p in (0, 1)]
-        for x in d:
-            x.wait()
+        _dma_chunks([(psi_ref.at[p, pl.ds(h * C, C)], bufA.at[p])
+                     for p in (0, 1)], sems)
 
         @pl.when(xh > 0)
         def _():
-            d = [_copy_chunk(psi_ref.at[p, pl.ds(hh * C, C)], bufB.at[p],
-                             sems.at[p]) for p in (0, 1)]
-            for x in d:
-                x.wait()
+            _dma_chunks([(psi_ref.at[p, pl.ds(hh * C, C)], bufB.at[p])
+                         for p in (0, 1)], sems)
+            rot_chunk(outA, bufA, bufB, h)
+            rot_chunk(outB, bufB, bufA, hh)
+            _dma_chunks([(outA.at[p], psi_ref.at[p, pl.ds(h * C, C)])
+                         for p in (0, 1)]
+                        + [(outB.at[p], psi_ref.at[p, pl.ds(hh * C, C)])
+                           for p in (0, 1)], sems)
 
-        def tile_body(it, _):
-            ii = it ^ xc
-            tA = h * C + it
-            tB = hh * C + ii
-
-            @pl.when(xh > 0)
-            def _():                      # pair across chunks: A[it]<->B[ii]
-                a0, a1 = bufA[0, it], bufA[1, it]
-                b0, b1 = bufB[0, ii], bufB[1, ii]
-                na0, na1 = rot(a0, a1, b0, b1, tA)
-                nb0, nb1 = rot(b0, b1, a0, a1, tB)
-                outA[0, it], outA[1, it] = na0, na1
-                outB[0, ii], outB[1, ii] = nb0, nb1
-
-            @pl.when(jnp.logical_and(xh == 0, xc > 0))
-            def _():                      # pair inside the chunk
-                @pl.when(it < ii)
-                def _():
-                    a0, a1 = bufA[0, it], bufA[1, it]
-                    b0, b1 = bufA[0, ii], bufA[1, ii]
-                    na0, na1 = rot(a0, a1, b0, b1, tA)
-                    nb0, nb1 = rot(b0, b1, a0, a1, tB)
-                    outA[0, it], outA[1, it] = na0, na1
-                    outA[0, ii], outA[1, ii] = nb0, nb1
-
-            @pl.when(jnp.logical_and(xh == 0, xc == 0))
-            def _():                      # x_top == 0: self-paired tile
-                a0, a1 = bufA[0, it], bufA[1, it]
-                na0, na1 = rot(a0, a1, a0, a1, tA)
-                outA[0, it], outA[1, it] = na0, na1
-
-            return 0
-
-        jax.lax.fori_loop(0, C, tile_body, 0)
-
-        d = [_copy_chunk(outA.at[p], psi_ref.at[p, pl.ds(h * C, C)],
-                         sems.at[p]) for p in (0, 1)]
-        for x in d:
-            x.wait()
-
-        @pl.when(xh > 0)
+        @pl.when(xh == 0)
         def _():
-            d = [_copy_chunk(outB.at[p], psi_ref.at[p, pl.ds(hh * C, C)],
-                             sems.at[p]) for p in (0, 1)]
-            for x in d:
-                x.wait()
+            rot_chunk(outA, bufA, bufA, h)
+            _dma_chunks([(outA.at[p], psi_ref.at[p, pl.ds(h * C, C)])
+                         for p in (0, 1)], sems)
 
         return 0
 
@@ -317,9 +363,10 @@ def _rot_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
 def apply_grouped_ops_stream(psi, theta, x_huge, mb, n_outer, x_chunk, x_mid,
                              x_lane, op, z_r, z_c, cre,
-                             interpret: bool = False):
+                             interpret: Optional[bool] = None):
     """Whole-ansatz rotation sweep, state streamed from HBM; psi (2, 2^n)
     f32 -> (2, 2^n) f32 (updated in place via aliasing)."""
+    interpret = _resolve_interpret(interpret)
     G, K = z_c.shape[0], z_c.shape[-1]
     N = psi.shape[-1]
     T = N >> TILE_BITS
@@ -345,7 +392,7 @@ def apply_grouped_ops_stream(psi, theta, x_huge, mb, n_outer, x_chunk, x_mid,
             pltpu.VMEM((2, C, SUB, LANE), jnp.float32),   # bufB
             pltpu.VMEM((2, C, SUB, LANE), jnp.float32),   # outA
             pltpu.VMEM((2, C, SUB, LANE), jnp.float32),   # outB
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     out = pl.pallas_call(
@@ -366,7 +413,7 @@ def apply_grouped_ops_stream(psi, theta, x_huge, mb, n_outer, x_chunk, x_mid,
 
 def _expect_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
                           zr_ref, zc_ref, cre_ref, cim_ref, psi_ref, out_ref,
-                          bufA, bufB, sems):
+                          bufA, bufB, eacc, sems):
     g = pl.program_id(0)
 
     @pl.when(g == 0)
@@ -376,71 +423,48 @@ def _expect_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
     xh = xh_ref[g]
     mb = mb_ref[g]
     nout = nout_ref[g]
-    xc = xc_ref[g]
-    ctx = _GroupCtx(xm_ref[g], xl_ref[g], zr_ref[0], zc_ref[0], cre_ref[0],
-                    cim_ref[0])
+    ctx = _GroupCtx(xm_ref[g], xl_ref[g], xc_ref[g], zr_ref[0], zc_ref[0],
+                    cre_ref[0], cim_ref[0])
     C = bufA.shape[1]
+    eacc[0, 0] = jnp.float32(0.0)
 
-    def contrib(a0, a1, b0, b1, t):
-        """E contribution of ordered tile t with partner content b:
+    def contrib(src, partner, h):
+        """Ordered contribution of all C tiles of chunk ``src``:
         Wre . Re[conj(psi) psi_x] - Wim . Im[conj(psi) psi_x]."""
-        pb0, pb1 = ctx.perm(b0), ctx.perm(b1)
-        Wre = ctx.field(ctx.WLre, t)
-        Wim = ctx.field(ctx.WLim, t)
-        return jnp.sum(Wre * (a0 * pb0 + a1 * pb1)
-                       - Wim * (a0 * pb1 - a1 * pb0))
+        pb0 = ctx.perm(partner[0])
+        pb1 = ctx.perm(partner[1])
+        Wre = ctx.field("re", h, C)
+        Wim = ctx.field("im", h, C)
+        return jnp.sum(Wre * (src[0] * pb0 + src[1] * pb1)
+                       - Wim * (src[0] * pb1 - src[1] * pb0))
 
-    def outer(i, acc):
+    def outer(i, _):
         h = _pair_index(i, xh, mb)
         hh = h ^ xh
-        d = [_copy_chunk(psi_ref.at[p, pl.ds(h * C, C)], bufA.at[p],
-                         sems.at[p]) for p in (0, 1)]
-        for x in d:
-            x.wait()
+        _dma_chunks([(psi_ref.at[p, pl.ds(h * C, C)], bufA.at[p])
+                     for p in (0, 1)], sems)
 
         @pl.when(xh > 0)
         def _():
-            d = [_copy_chunk(psi_ref.at[p, pl.ds(hh * C, C)], bufB.at[p],
-                             sems.at[p]) for p in (0, 1)]
-            for x in d:
-                x.wait()
+            _dma_chunks([(psi_ref.at[p, pl.ds(hh * C, C)], bufB.at[p])
+                         for p in (0, 1)], sems)
+            eacc[0, 0] += contrib(bufA, bufB, h) + contrib(bufB, bufA, hh)
 
-        def tile_body(it, a):
-            ii = it ^ xc
-            tA = h * C + it
-            tB = hh * C + ii
+        @pl.when(xh == 0)
+        def _():
+            eacc[0, 0] += contrib(bufA, bufA, h)
 
-            def cross(a):
-                return a + contrib(bufA[0, it], bufA[1, it],
-                                   bufB[0, ii], bufB[1, ii], tA) \
-                         + contrib(bufB[0, ii], bufB[1, ii],
-                                   bufA[0, it], bufA[1, it], tB)
+        return 0
 
-            def intra(a):
-                both = a + contrib(bufA[0, it], bufA[1, it],
-                                   bufA[0, ii], bufA[1, ii], tA) \
-                         + contrib(bufA[0, ii], bufA[1, ii],
-                                   bufA[0, it], bufA[1, it], tB)
-                return jax.lax.select(it < ii, both, a)
-
-            def self_pair(a):
-                return a + contrib(bufA[0, it], bufA[1, it],
-                                   bufA[0, it], bufA[1, it], tA)
-
-            return jax.lax.cond(
-                xh > 0, cross,
-                lambda a: jax.lax.cond(xc > 0, intra, self_pair, a), a)
-
-        return jax.lax.fori_loop(0, C, tile_body, acc)
-
-    tot = jax.lax.fori_loop(0, nout, outer, jnp.float32(0.0))
-    out_ref[0, 0] += tot
+    jax.lax.fori_loop(0, nout, outer, 0)
+    out_ref[0, 0] += eacc[0, 0]
 
 
 def expectation_stream(psi, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
-                       z_r, z_c, cre, cim, interpret: bool = False):
+                       z_r, z_c, cre, cim, interpret: Optional[bool] = None):
     """Off-diagonal grouped <psi|H|psi> contribution, state streamed from
     HBM (diagonal + constant are cheap single XLA passes)."""
+    interpret = _resolve_interpret(interpret)
     G, K = z_c.shape[0], z_c.shape[-1]
     N = psi.shape[-1]
     T = N >> TILE_BITS
@@ -466,7 +490,8 @@ def expectation_stream(psi, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
         scratch_shapes=[
             pltpu.VMEM((2, C, SUB, LANE), jnp.float32),
             pltpu.VMEM((2, C, SUB, LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     out = pl.pallas_call(
@@ -492,80 +517,45 @@ def _ham_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
     xh = xh_ref[g]
     mb = mb_ref[g]
     nout = nout_ref[g]
-    xc = xc_ref[g]
-    ctx = _GroupCtx(xm_ref[g], xl_ref[g], zr_ref[0], zc_ref[0], cre_ref[0],
-                    cim_ref[0])
+    ctx = _GroupCtx(xm_ref[g], xl_ref[g], xc_ref[g], zr_ref[0], zc_ref[0],
+                    cre_ref[0], cim_ref[0])
     C = bufA.shape[1]
 
-    def add(o0, o1, b0, b1, t):
-        """acc[t] += W(t) (.) perm(psi[t^x]) (complex weights)."""
-        pb0, pb1 = ctx.perm(b0), ctx.perm(b1)
-        Wre = ctx.field(ctx.WLre, t)
-        Wim = ctx.field(ctx.WLim, t)
-        return (o0 + Wre * pb0 - Wim * pb1, o1 + Wre * pb1 + Wim * pb0)
+    def add(dst, partner, h):
+        """dst += W(h-chunk tiles) (.) roll_xc(perm(partner)) (complex)."""
+        pb0 = ctx.perm(partner[0])
+        pb1 = ctx.perm(partner[1])
+        Wre = ctx.field("re", h, C)
+        Wim = ctx.field("im", h, C)
+        dst[0] += Wre * pb0 - Wim * pb1
+        dst[1] += Wre * pb1 + Wim * pb0
 
     def outer(i, _):
         h = _pair_index(i, xh, mb)
         hh = h ^ xh
-        d = [_copy_chunk(psi_ref.at[p, pl.ds(h * C, C)], bufA.at[p],
-                         sems.at[p]) for p in (0, 1)]
-        d += [_copy_chunk(acc_ref.at[p, pl.ds(h * C, C)], accA.at[p],
-                          sems.at[2 + p]) for p in (0, 1)]
-        for x in d:
-            x.wait()
+        _dma_chunks([(psi_ref.at[p, pl.ds(h * C, C)], bufA.at[p])
+                     for p in (0, 1)]
+                    + [(acc_ref.at[p, pl.ds(h * C, C)], accA.at[p])
+                       for p in (0, 1)], sems)
 
         @pl.when(xh > 0)
         def _():
-            d = [_copy_chunk(psi_ref.at[p, pl.ds(hh * C, C)], bufB.at[p],
-                             sems.at[p]) for p in (0, 1)]
-            d += [_copy_chunk(acc_ref.at[p, pl.ds(hh * C, C)], accB.at[p],
-                              sems.at[2 + p]) for p in (0, 1)]
-            for x in d:
-                x.wait()
+            _dma_chunks([(psi_ref.at[p, pl.ds(hh * C, C)], bufB.at[p])
+                         for p in (0, 1)]
+                        + [(acc_ref.at[p, pl.ds(hh * C, C)], accB.at[p])
+                           for p in (0, 1)], sems)
+            add(accA, bufB, h)
+            add(accB, bufA, hh)
+            _dma_chunks([(accA.at[p], acc_ref.at[p, pl.ds(h * C, C)])
+                         for p in (0, 1)]
+                        + [(accB.at[p], acc_ref.at[p, pl.ds(hh * C, C)])
+                           for p in (0, 1)], sems)
 
-        def tile_body(it, _):
-            ii = it ^ xc
-            tA = h * C + it
-            tB = hh * C + ii
-
-            @pl.when(xh > 0)
-            def _():
-                accA[0, it], accA[1, it] = add(
-                    accA[0, it], accA[1, it], bufB[0, ii], bufB[1, ii], tA)
-                accB[0, ii], accB[1, ii] = add(
-                    accB[0, ii], accB[1, ii], bufA[0, it], bufA[1, it], tB)
-
-            @pl.when(jnp.logical_and(xh == 0, xc > 0))
-            def _():
-                @pl.when(it < ii)
-                def _():
-                    accA[0, it], accA[1, it] = add(
-                        accA[0, it], accA[1, it],
-                        bufA[0, ii], bufA[1, ii], tA)
-                    accA[0, ii], accA[1, ii] = add(
-                        accA[0, ii], accA[1, ii],
-                        bufA[0, it], bufA[1, it], tB)
-
-            @pl.when(jnp.logical_and(xh == 0, xc == 0))
-            def _():
-                accA[0, it], accA[1, it] = add(
-                    accA[0, it], accA[1, it], bufA[0, it], bufA[1, it], tA)
-
-            return 0
-
-        jax.lax.fori_loop(0, C, tile_body, 0)
-
-        d = [_copy_chunk(accA.at[p], acc_ref.at[p, pl.ds(h * C, C)],
-                         sems.at[2 + p]) for p in (0, 1)]
-        for x in d:
-            x.wait()
-
-        @pl.when(xh > 0)
+        @pl.when(xh == 0)
         def _():
-            d = [_copy_chunk(accB.at[p], acc_ref.at[p, pl.ds(hh * C, C)],
-                             sems.at[2 + p]) for p in (0, 1)]
-            for x in d:
-                x.wait()
+            add(accA, bufA, h)
+            _dma_chunks([(accA.at[p], acc_ref.at[p, pl.ds(h * C, C)])
+                         for p in (0, 1)], sems)
 
         return 0
 
@@ -573,9 +563,10 @@ def _ham_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
 
 def ham_apply_stream(psi, acc, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
-                     z_r, z_c, cre, cim, interpret: bool = False):
+                     z_r, z_c, cre, cim, interpret: Optional[bool] = None):
     """acc += (off-diagonal grouped H)|psi>, both streamed from HBM; acc is
     updated in place (pass the diagonal+const part, get the full H|psi>)."""
+    interpret = _resolve_interpret(interpret)
     G, K = z_c.shape[0], z_c.shape[-1]
     N = psi.shape[-1]
     T = N >> TILE_BITS
@@ -604,7 +595,7 @@ def ham_apply_stream(psi, acc, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
             pltpu.VMEM((2, C, SUB, LANE), jnp.float32),
             pltpu.VMEM((2, C, SUB, LANE), jnp.float32),
             pltpu.VMEM((2, C, SUB, LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((8,)),
         ],
     )
     out = pl.pallas_call(
@@ -632,131 +623,88 @@ def _adj_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
     xh = xh_ref[g]
     mb = mb_ref[g]
     nout = nout_ref[g]
-    xc = xc_ref[g]
     ang = ang_ref[g]
-    ctx = _GroupCtx(xm_ref[g], xl_ref[g], zr_ref[0], zc_ref[0], cre_ref[0])
+    ctx = _GroupCtx(xm_ref[g], xl_ref[g], xc_ref[g], zr_ref[0], zc_ref[0],
+                    cre_ref[0])
     C = bufPA.shape[1]
-    gacc[...] = jnp.zeros_like(gacc)
+    gacc[0, 0] = jnp.float32(0.0)
 
-    def unrot(pa, pb, la, lb, t):
-        """Un-rotated tile t of p and l given partner contents (pb, lb) and
-        the tile's gradient contribution (pure reads)."""
-        ph = ctx.field(ctx.WLre, t)
+    def unrot(dstP, dstL, srcP, srcL, pP, pL, h):
+        """Un-rotate chunk (srcP, srcL) given partner chunks (pP, pL) and
+        accumulate the gradient contribution of its tiles."""
+        ph = ctx.field("re", h, C)
         B = ang * ph
         c, s = jnp.cos(B), jnp.sin(B)
-        pxp = (ctx.perm(pb[0]), ctx.perm(pb[1]))
-        pxl = (ctx.perm(lb[0]), ctx.perm(lb[1]))
-        gtc = -2.0 * jnp.sum(ph * (la[0] * pxp[0] + la[1] * pxp[1]))
-        return gtc, (c * pa[0] - s * pxp[0], c * pa[1] - s * pxp[1],
-                     c * la[0] - s * pxl[0], c * la[1] - s * pxl[1])
+        pxp0 = ctx.perm(pP[0])
+        pxp1 = ctx.perm(pP[1])
+        gt = -2.0 * jnp.sum(ph * (srcL[0] * pxp0 + srcL[1] * pxp1))
+        dstP[0] = c * srcP[0] - s * pxp0
+        dstP[1] = c * srcP[1] - s * pxp1
+        dstL[0] = c * srcL[0] - s * ctx.perm(pL[0])
+        dstL[1] = c * srcL[1] - s * ctx.perm(pL[1])
+        return gt
 
     def outer(i, _):
         h = _pair_index(i, xh, mb)
         hh = h ^ xh
-        d = [_copy_chunk(p_ref.at[p, pl.ds(h * C, C)], bufPA.at[p],
-                         sems.at[p]) for p in (0, 1)]
-        d += [_copy_chunk(l_ref.at[p, pl.ds(h * C, C)], bufLA.at[p],
-                          sems.at[2 + p]) for p in (0, 1)]
-        for x in d:
-            x.wait()
+        _dma_chunks([(p_ref.at[p, pl.ds(h * C, C)], bufPA.at[p])
+                     for p in (0, 1)]
+                    + [(l_ref.at[p, pl.ds(h * C, C)], bufLA.at[p])
+                       for p in (0, 1)], sems)
 
         @pl.when(xh > 0)
         def _():
-            d = [_copy_chunk(p_ref.at[p, pl.ds(hh * C, C)], bufPB.at[p],
-                             sems.at[p]) for p in (0, 1)]
-            d += [_copy_chunk(l_ref.at[p, pl.ds(hh * C, C)], bufLB.at[p],
-                              sems.at[2 + p]) for p in (0, 1)]
-            for x in d:
-                x.wait()
+            _dma_chunks([(p_ref.at[p, pl.ds(hh * C, C)], bufPB.at[p])
+                         for p in (0, 1)]
+                        + [(l_ref.at[p, pl.ds(hh * C, C)], bufLB.at[p])
+                           for p in (0, 1)], sems)
+            gA = unrot(outPA, outLA, bufPA, bufLA, bufPB, bufLB, h)
+            gB = unrot(outPB, outLB, bufPB, bufLB, bufPA, bufLA, hh)
+            gacc[0, 0] += gA + gB
+            _dma_chunks([(outPA.at[p], p_ref.at[p, pl.ds(h * C, C)])
+                         for p in (0, 1)]
+                        + [(outLA.at[p], l_ref.at[p, pl.ds(h * C, C)])
+                           for p in (0, 1)]
+                        + [(outPB.at[p], p_ref.at[p, pl.ds(hh * C, C)])
+                           for p in (0, 1)]
+                        + [(outLB.at[p], l_ref.at[p, pl.ds(hh * C, C)])
+                           for p in (0, 1)], sems)
 
-        def tile_body(it, _):
-            ii = it ^ xc
-            tA = h * C + it
-            tB = hh * C + ii
-
-            @pl.when(xh > 0)
-            def _():
-                pa = (bufPA[0, it], bufPA[1, it])
-                pb = (bufPB[0, ii], bufPB[1, ii])
-                la = (bufLA[0, it], bufLA[1, it])
-                lb = (bufLB[0, ii], bufLB[1, ii])
-                gA, (np0, np1, nl0, nl1) = unrot(pa, pb, la, lb, tA)
-                gB, (mp0, mp1, ml0, ml1) = unrot(pb, pa, lb, la, tB)
-                gacc[0, :] += gA + gB
-                outPA[0, it], outPA[1, it] = np0, np1
-                outLA[0, it], outLA[1, it] = nl0, nl1
-                outPB[0, ii], outPB[1, ii] = mp0, mp1
-                outLB[0, ii], outLB[1, ii] = ml0, ml1
-
-            @pl.when(jnp.logical_and(xh == 0, xc > 0))
-            def _():
-                @pl.when(it < ii)
-                def _():
-                    pa = (bufPA[0, it], bufPA[1, it])
-                    pb = (bufPA[0, ii], bufPA[1, ii])
-                    la = (bufLA[0, it], bufLA[1, it])
-                    lb = (bufLA[0, ii], bufLA[1, ii])
-                    gA, (np0, np1, nl0, nl1) = unrot(pa, pb, la, lb, tA)
-                    gB, (mp0, mp1, ml0, ml1) = unrot(pb, pa, lb, la, tB)
-                    gacc[0, :] += gA + gB
-                    outPA[0, it], outPA[1, it] = np0, np1
-                    outLA[0, it], outLA[1, it] = nl0, nl1
-                    outPA[0, ii], outPA[1, ii] = mp0, mp1
-                    outLA[0, ii], outLA[1, ii] = ml0, ml1
-
-            @pl.when(jnp.logical_and(xh == 0, xc == 0))
-            def _():
-                pa = (bufPA[0, it], bufPA[1, it])
-                la = (bufLA[0, it], bufLA[1, it])
-                gA, (np0, np1, nl0, nl1) = unrot(pa, pa, la, la, tA)
-                gacc[0, :] += gA
-                outPA[0, it], outPA[1, it] = np0, np1
-                outLA[0, it], outLA[1, it] = nl0, nl1
-
-            return 0
-
-        jax.lax.fori_loop(0, C, tile_body, 0)
-
-        d = [_copy_chunk(outPA.at[p], p_ref.at[p, pl.ds(h * C, C)],
-                         sems.at[p]) for p in (0, 1)]
-        d += [_copy_chunk(outLA.at[p], l_ref.at[p, pl.ds(h * C, C)],
-                          sems.at[2 + p]) for p in (0, 1)]
-        for x in d:
-            x.wait()
-
-        @pl.when(xh > 0)
+        @pl.when(xh == 0)
         def _():
-            d = [_copy_chunk(outPB.at[p], p_ref.at[p, pl.ds(hh * C, C)],
-                             sems.at[p]) for p in (0, 1)]
-            d += [_copy_chunk(outLB.at[p], l_ref.at[p, pl.ds(hh * C, C)],
-                              sems.at[2 + p]) for p in (0, 1)]
-            for x in d:
-                x.wait()
+            gA = unrot(outPA, outLA, bufPA, bufLA, bufPA, bufLA, h)
+            gacc[0, 0] += gA
+            _dma_chunks([(outPA.at[p], p_ref.at[p, pl.ds(h * C, C)])
+                         for p in (0, 1)]
+                        + [(outLA.at[p], l_ref.at[p, pl.ds(h * C, C)])
+                           for p in (0, 1)], sems)
 
         return 0
 
     jax.lax.fori_loop(0, nout, outer, 0)
-    gt_ref[g % 8, :] = gacc[0, :]
+    # per-group gradient entry: row g % 8 of the (G // 8)-blocked output
+    gt_ref[g % 8, :] = jnp.broadcast_to(gacc[0, 0], (LANE,))
 
 
 def adjoint_sweep_stream(p, lam, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
-                         angles, z_r, z_c, cre, interpret: bool = False):
+                         angles, z_r, z_c, cre,
+                         interpret: Optional[bool] = None):
     """Reversible adjoint over grouped rotations, both states streamed from
     HBM; operands must be passed in REVERSED group order.  Returns
     (p_prev, lam_prev, per-group gradient entries); angles = -theta[op] per
     (reversed) group."""
+    interpret = _resolve_interpret(interpret)
     G0 = z_c.shape[0]
     pad = (8 - G0 % 8) % 8
     if pad:
-        def p8(a, fill=0):
+        def p8(a):
             return jnp.pad(jnp.asarray(a),
                            [(0, pad)] + [(0, 0)] * (np.ndim(a) - 1))
 
         x_huge, mb, x_chunk = p8(x_huge), p8(mb), p8(x_chunk)
         x_mid, x_lane = p8(x_mid), p8(x_lane)
         angles, z_r, z_c, cre = p8(angles), p8(z_r), p8(z_c), p8(cre)
-        # padded groups are identity rotations (x=0, zero weights) but the
-        # outer loop must still run 0 iterations to stay cheap
+        # padded groups are inert: n_outer = 0 (no DMA, no writes)
         n_outer = jnp.concatenate([jnp.asarray(n_outer),
                                    jnp.zeros(pad, jnp.int32)])
     G, K = z_c.shape[0], z_c.shape[-1]
@@ -787,8 +735,8 @@ def adjoint_sweep_stream(p, lam, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
         ),
         scratch_shapes=(
             [pltpu.VMEM((2, C, SUB, LANE), jnp.float32) for _ in range(8)]
-            + [pltpu.VMEM((8, LANE), jnp.float32),
-               pltpu.SemaphoreType.DMA((4,))]),
+            + [pltpu.SMEM((1, 1), jnp.float32),
+               pltpu.SemaphoreType.DMA((8,))]),
     )
     p_out, l_out, gts = pl.pallas_call(
         _adj_stream_kernel,
@@ -805,3 +753,184 @@ def adjoint_sweep_stream(p, lam, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
       jnp.asarray(angles), jnp.asarray(z_r), jnp.asarray(z_c),
       jnp.asarray(cre), p4, l4)
     return p_out.reshape(2, N), l_out.reshape(2, N), gts[:G0, 0]
+
+
+# ------------------------------------------------- segmented energy builder
+#
+# The axon backend kills device calls past ~10 s; one streaming group costs
+# ~2 full-state HBM passes, so calls are chunked to a fixed number of groups
+# per pallas_call and driven from a host loop (psi / lam staying on device).
+# Fixed segment shapes mean ONE compiled executable per kernel per bucket.
+
+# ~1.5 ms per group at 2^24 amplitudes (measured, benchmarks/
+# bench_streaming.py) -> 6e10 group-amplitude units keep a call near ~5 s
+STREAM_CALL_BUDGET = 6.0e10
+
+
+def stream_segment_groups(n: int, minimum: int = 8) -> int:
+    s = max(int(STREAM_CALL_BUDGET / float(1 << n)), minimum)
+    return 1 << (s.bit_length() - 1)     # power of two, rounded down
+
+
+def pad_stream_args(args, g_pad: int):
+    """Pad the group axis with inert groups: n_outer = 0 makes a padded
+    group's outer loop run zero iterations (no DMA, no writes)."""
+    G = len(args[0])
+    if g_pad < G:
+        raise ValueError(f"g_pad={g_pad} < G={G}")
+    pad = g_pad - G
+
+    def p(a):
+        return np.pad(np.asarray(a), [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+
+    return tuple(None if a is None else p(a) for a in args)
+
+
+def _segments(args, seg: int):
+    """Split padded stream args into per-segment tuples.  The segment size
+    is capped at the next power of two >= G (padding 5 groups to a budget
+    sized for thousands would dominate the call)."""
+    G = len(args[0])
+    if G:
+        seg = min(seg, 1 << (G - 1).bit_length() if G > 1 else 1)
+    n_seg = max(1, -(-G // seg))
+    padded = pad_stream_args(args, n_seg * seg)
+    return [tuple(None if a is None else a[i * seg:(i + 1) * seg]
+                  for a in padded) for i in range(n_seg)]
+
+
+def build_streaming_energy_fn(gham, seg: Optional[int] = None):
+    """Streaming-kernel (energy, energy_and_grad, forward, lham, expect,
+    prepare_seq).
+
+    ``prepare_seq(seq_stream_args(...))`` lowers an ansatz ONCE to
+    device-resident per-segment operand tuples; energy / energy_and_grad /
+    forward take that prepared object.  The Hamiltonian runs through the
+    streaming expectation / H-apply kernels with the diagonal (x=0) part and
+    the identity constant handled by single-pass XLA programs (and the
+    energy recovered as e = Re<psi|lam> + const <psi|psi> from ONE H pass
+    per iteration, as in the grouped segmented builder)."""
+    from functools import partial
+
+    from . import grouped as gr
+    from .statevector import default_rdtype
+
+    n = gham.n
+    if seg is None:
+        seg = stream_segment_groups(n)
+    rd = default_rdtype()
+    hermitian = gham.hermitian
+    zd, adr, adi = gham.z_diag, gham.a_diag_re, gham.a_diag_im
+    c_re = np.asarray(gham.c_re, rd)
+
+    hd = stream_ham_data(gham)
+    h_segments = ([tuple(jnp.asarray(a) for a in s)
+                   for s in _segments(ham_stream_args(hd), seg)]
+                  if hd.G else [])
+
+    @jax.jit
+    def _diag_expect(psi):
+        R, lanes = gr._lane_split(n)
+        acc = c_re * jnp.sum(psi * psi)
+        if len(zd):
+            p2 = (psi[0] * psi[0] + psi[1] * psi[1]).reshape(R, lanes)
+            acc = acc + jnp.sum(jnp.asarray(adr, psi.dtype)
+                                * gr._group_bilinear(p2, zd, n))
+        return acc
+
+    @partial(jax.jit, static_argnames=("include_const",))
+    def _diag_ham(psi, include_const: bool = True):
+        acc = c_re * psi if include_const else jnp.zeros_like(psi)
+        if len(zd):
+            w_re = gr._sign_field(zd, jnp.asarray(adr, psi.dtype),
+                                  n).reshape(-1)
+            acc = acc + w_re[None, :] * psi
+            if not hermitian:
+                w_im = gr._sign_field(zd, jnp.asarray(adi, psi.dtype),
+                                      n).reshape(-1)
+                acc = acc + jnp.stack([-w_im * psi[1], w_im * psi[0]])
+        return acc
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def _rot_seg(psi, theta, xh, mb_, nout, xc, xm, xl, op, zr, zc, cre):
+        return apply_grouped_ops_stream(psi, theta, xh, mb_, nout, xc, xm,
+                                        xl, op, zr, zc, cre)
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def _ham_seg(psi, acc, xh, mb_, nout, xc, xm, xl, zr, zc, cre, cim):
+        return ham_apply_stream(psi, acc, xh, mb_, nout, xc, xm, xl,
+                                zr, zc, cre, cim)
+
+    @jax.jit
+    def _exp_seg(psi, xh, mb_, nout, xc, xm, xl, zr, zc, cre, cim):
+        return expectation_stream(psi, xh, mb_, nout, xc, xm, xl,
+                                  zr, zc, cre, cim)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def _adj_seg(p, l, theta, xh, mb_, nout, xc, xm, xl, op, zr, zc, cre):
+        angles = -jnp.asarray(theta, jnp.float32)[op]
+        p, l, gts = adjoint_sweep_stream(p, l, xh, mb_, nout, xc, xm, xl,
+                                         angles, zr, zc, cre)
+        return p, l, gts
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def _grad_add(grad, op, gts):
+        return grad.at[op].add(gts.astype(grad.dtype))
+
+    def prepare_seq(seq_args):
+        """Lower seq_stream_args(...) to device-resident (forward segments,
+        reversed segments) tuples — do this once per bind."""
+        if seq_args is None or len(seq_args[0]) == 0:
+            return [], []
+        segs = _segments(seq_args, seg)
+        fwd = [tuple(jnp.asarray(a) for a in s) for s in segs]
+        rev = [tuple(jnp.asarray(np.ascontiguousarray(np.asarray(a)[::-1]))
+                     for a in s) for s in reversed(segs)]
+        return fwd, rev
+
+    def forward(theta, psi0, prepared):
+        psi = jnp.asarray(np.asarray(psi0, np.float32))
+        theta = jnp.asarray(np.asarray(theta, np.float32))
+        for s in prepared[0]:
+            psi = _rot_seg(psi, theta, *s)
+        return psi
+
+    def _lham(psi, include_const: bool = True):
+        acc = _diag_ham(psi, include_const=include_const)
+        for s in h_segments:
+            acc = _ham_seg(psi, acc, *s)
+        return acc
+
+    def _expectation(psi):
+        acc = _diag_expect(psi)
+        for s in h_segments:
+            acc = acc + _exp_seg(psi, *s)
+        return float(acc)
+
+    def energy(theta, psi0, prepared):
+        return _expectation(forward(theta, psi0, prepared))
+
+    @jax.jit
+    def _dot_energy(psi, lam0):
+        return jnp.sum(psi * lam0) + c_re * jnp.sum(psi * psi)
+
+    @jax.jit
+    def _add_const(psi, lam0):
+        return lam0 + c_re * psi
+
+    def energy_and_grad(theta, psi0, prepared):
+        theta_f = jnp.asarray(np.asarray(theta, np.float32))
+        psi = forward(theta_f, psi0, prepared)
+        lam0 = _lham(psi, include_const=False)
+        e = float(_dot_energy(psi, lam0))
+        lam = _add_const(psi, lam0)
+        n_params = int(np.shape(theta)[0])
+        grad = jnp.zeros(n_params, jnp.float32)
+        p, l = psi, lam
+        for s in prepared[1]:
+            p, l, gts = _adj_seg(p, l, theta_f, *s)
+            grad = _grad_add(grad, s[6], gts)
+        return e, np.asarray(grad, dtype=float)
+
+    return (energy, energy_and_grad, forward, _lham, _expectation,
+            prepare_seq)

@@ -92,6 +92,33 @@ def main() -> int:
     else:
         print(f"  [SKIP] pallas kernels (n={n} outside 14..20 or CPU)")
 
+    # 2b. streaming kernels vs XLA grouped path (synthetic n=18 system —
+    #     the H8 ansatz is below the streaming MIN_N)
+    from openvqe_tpu.sim import streaming as stm
+    ns = 18
+    if stm.streaming_supported(ns) or backend == "cpu":
+        rng2 = np.random.default_rng(7)
+        Gs, Ks = 6, 4
+        xs = rng2.integers(0, 1 << ns, size=Gs).astype(np.int32)
+        xs[0] = 0
+        zs = rng2.integers(0, 1 << ns, size=(Gs, Ks)).astype(np.int32)
+        cs = (rng2.normal(size=(Gs, Ks)) * 0.3).astype(np.float32)
+        ops = (np.arange(Gs) % 3).astype(np.int32)
+        th_s = (rng2.normal(size=3) * 0.2).astype(np.float32)
+        psi_s = rng2.normal(size=(2, 1 << ns)).astype(np.float32)
+        psi_s /= np.linalg.norm(psi_s)
+        ref_s = np.asarray(gr.apply_grouped_ops(
+            jnp.asarray(psi_s), jnp.asarray(th_s), jnp.asarray(xs),
+            jnp.asarray(zs), jnp.asarray(cs), jnp.asarray(ops)))
+        sd = stm.build_stream_data(ns, xs, zs, cs, op=ops)
+        out_s = np.asarray(stm.apply_grouped_ops_stream(
+            psi_s, th_s, *stm.seq_stream_args(sd)))
+        d = float(np.max(np.abs(out_s - ref_s)))
+        check("streaming forward == XLA grouped", d < 1e-6,
+              f"(max diff {d:.1e})")
+    else:
+        print("  [SKIP] streaming kernels")
+
     # 3. limb matmul modes
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32))

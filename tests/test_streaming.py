@@ -106,6 +106,64 @@ def test_ham_apply_parity(data):
                                rtol=0, atol=1e-5)
 
 
+def test_objective_streaming_end_to_end(monkeypatch):
+    """VQEObjective with the streaming path forced (interpret mode on CPU)
+    reproduces the XLA grouped objective: energy, gradient, ham services."""
+    from openvqe_tpu.ops.pauli import PauliSum
+    from openvqe_tpu.sim.objective import VQEObjective
+
+    n = N
+    rng = np.random.default_rng(3)
+    ham = PauliSum.identity(n, 0.31)
+    for _ in range(5):
+        s = "".join(rng.choice(list("IXYZ")) for _ in range(n))
+        ham = ham + PauliSum.from_term(n, float(rng.normal()), s)
+
+    gens = []
+    for _ in range(3):
+        while True:
+            s = "".join(rng.choice(list("IXYZ"), p=[0.6, 0.15, 0.15, 0.1])
+                        for _ in range(n))
+            if s.count("Y") % 2 == 1:
+                break
+        gens.append(PauliSum.from_term(n, 0.5, s))
+    theta = rng.normal(size=3) * 0.3
+    hf = 0b11
+
+    # the CI mesh runs x64; the streaming path is f32-only, so force both
+    # objectives to f32 for a like-for-like comparison
+    import jax.numpy as jnp
+    monkeypatch.setattr("openvqe_tpu.sim.statevector.default_rdtype",
+                        lambda: np.float32)
+    monkeypatch.setattr("openvqe_tpu.sim.grouped.default_rdtype",
+                        lambda: np.float32)
+    monkeypatch.setattr("openvqe_tpu.sim.statevector.default_cdtype",
+                        lambda: jnp.complex64)
+
+    ref_obj = VQEObjective(ham, segmented=True)
+    assert not ref_obj._streaming
+    e_ref, g_ref = ref_obj.bind(gens, hf).energy_and_grad(theta)
+
+    monkeypatch.setattr("openvqe_tpu.sim.streaming.streaming_supported",
+                        lambda n: True)
+    st_obj = VQEObjective(ham, segmented=True)
+    assert st_obj._streaming
+    bound = st_obj.bind(gens, hf)
+    assert bound._stargs is not None
+    e_st, g_st = bound.energy_and_grad(theta)
+    assert abs(e_st - e_ref) < 1e-5
+    np.testing.assert_allclose(g_st, g_ref, rtol=1e-4, atol=1e-5)
+    assert abs(bound.energy(theta) - e_ref) < 1e-5
+
+    psi = np.asarray(ref_obj.bind(gens, hf).forward(theta))
+    np.testing.assert_allclose(np.asarray(bound.forward(theta)), psi,
+                               rtol=0, atol=1e-6)
+    lam_ref = np.asarray(ref_obj.ham_apply(psi))
+    lam_st = np.asarray(st_obj.ham_apply(psi))
+    np.testing.assert_allclose(lam_st, lam_ref, rtol=1e-5, atol=1e-6)
+    assert abs(st_obj.expectation(psi) - ref_obj.expectation(psi)) < 1e-5
+
+
 def test_adjoint_parity(data):
     x, z, coef, op, theta, psi = data
     rng = np.random.default_rng(10)
