@@ -23,7 +23,7 @@ import numpy as np
 from . import integrals as ints
 from .basis import build_shells
 from .fci import run_fci
-from .scf import mo_integrals, rhf
+from .scf import mo_integrals, rhf, rohf
 
 
 @dataclass
@@ -111,22 +111,30 @@ def compute_molecule(geometry, basis: str, spin: int = 0, charge: int = 0,
         eri = ints.electron_repulsion(shells)
     e_nuc = ints.nuclear_repulsion(charges, coords)
     n_elec = int(sum(charges)) - charge
-    if spin != 0:
-        raise NotImplementedError("only closed-shell (spin=0) molecules, as "
-                                  "exercised by the reference molecule table")
 
-    hf = rhf(S, T + V, eri, n_elec, e_nuc)
+    if spin != 0:
+        # restricted open-shell path (no reference molecule needs it — the
+        # table is all closed-shell — but perform_pyscf_computation accepts
+        # spin; see chem/scf.rohf)
+        hf = rohf(S, T + V, eri, n_elec, spin, e_nuc)
+        n_alpha, n_beta = hf.n_alpha, hf.n_beta
+    else:
+        hf = rhf(S, T + V, eri, n_elec, e_nuc)
+        n_alpha = n_beta = hf.n_occ
     h1, g_phys = mo_integrals(T + V, eri, hf.mo_coeff)
     n_orb = h1.shape[0]
-    n_occ = hf.n_occ
+    n_occ = n_beta                       # doubly occupied orbitals
 
-    e_mp2 = hf.energy + mp2_energy(h1, g_phys, hf.mo_energy, n_occ)
+    # closed-shell MP2 only (ROHF-MP2 is not uniquely defined; the reference
+    # likewise only consumes MP2 for its closed-shell table)
+    e_mp2 = (hf.energy + mp2_energy(h1, g_phys, hf.mo_energy, n_occ)
+             if spin == 0 else None)
 
     e_fci: Optional[float] = None
     fci_roots: Optional[np.ndarray] = None
     rdm1 = None
     if run_fci_flag:
-        res = run_fci(h1, g_phys, n_occ, n_elec - n_occ, e_nuc,
+        res = run_fci(h1, g_phys, n_alpha, n_beta, e_nuc,
                       k=n_roots, max_dets=fci_max_dets)
         if res is not None:
             w, v, solver = res
@@ -134,7 +142,11 @@ def compute_molecule(geometry, basis: str, spin: int = 0, charge: int = 0,
             fci_roots = w
             rdm1 = solver.make_rdm1(v[:, 0])
     if rdm1 is None:
-        rdm1 = mp2_rdm1(g_phys, hf.mo_energy, n_occ)
+        if spin == 0:
+            rdm1 = mp2_rdm1(g_phys, hf.mo_energy, n_occ)
+        else:
+            rdm1 = np.diag([2.0] * n_beta + [1.0] * spin
+                           + [0.0] * (n_orb - n_alpha))
 
     info = {
         "HF": hf.energy,
@@ -144,6 +156,8 @@ def compute_molecule(geometry, basis: str, spin: int = 0, charge: int = 0,
         "nuclear_repulsion": e_nuc,
         "n_orbitals": n_orb,
         "n_electrons": n_elec,
+        "n_alpha": n_alpha,
+        "n_beta": n_beta,
         "converged": hf.converged,
     }
     return MolecularData(

@@ -98,6 +98,123 @@ def rhf(S: np.ndarray, hcore: np.ndarray, eri: np.ndarray, n_elec: int,
     )
 
 
+@dataclass
+class ROHFResult:
+    energy: float                # total HF energy (electronic + nuclear)
+    mo_coeff: np.ndarray         # C[ao, mo] (restricted: shared a/b orbitals)
+    mo_energy: np.ndarray        # Roothaan effective-Fock eigenvalues
+    n_alpha: int
+    n_beta: int
+    converged: bool
+    n_iter: int
+
+
+def rohf(S: np.ndarray, hcore: np.ndarray, eri: np.ndarray, n_elec: int,
+         spin: int, e_nuc: float, max_iter: int = 300, conv: float = 1e-10,
+         diis_size: int = 8) -> ROHFResult:
+    """Restricted open-shell Hartree-Fock (Roothaan single effective Fock,
+    DIIS).  ``spin`` = n_alpha - n_beta (2S).  Extends the reference's
+    ``perform_pyscf_computation(geometry, basis, spin, charge)`` surface
+    (molecule_factory.py:306-320) beyond the closed-shell molecule table."""
+    if (n_elec + spin) % 2 != 0 or spin < 0 or spin > n_elec:
+        raise ValueError(f"invalid (n_elec={n_elec}, spin={spin})")
+    na = (n_elec + spin) // 2
+    nb = (n_elec - spin) // 2
+    if spin == 0:
+        r = rhf(S, hcore, eri, n_elec, e_nuc, max_iter, conv, diis_size)
+        return ROHFResult(r.energy, r.mo_coeff, r.mo_energy, r.n_occ,
+                          r.n_occ, r.converged, r.n_iter)
+
+    s_eval, s_evec = eigh(S)
+    if np.min(s_eval) < 1e-10:
+        keep = s_eval > 1e-10
+        s_eval, s_evec = s_eval[keep], s_evec[:, keep]
+    X = s_evec @ np.diag(s_eval ** -0.5) @ s_evec.T
+
+    def jk(dm):
+        J = np.einsum("pqrs,rs->pq", eri, dm, optimize=True)
+        K = np.einsum("prqs,rs->pq", eri, dm, optimize=True)
+        return J, K
+
+    e_mo, C_ortho = eigh(X.T @ hcore @ X)
+    C = X @ C_ortho
+
+    errs: List[np.ndarray] = []
+    focks: List[np.ndarray] = []
+    e_old = 0.0
+    converged = False
+    it = 0
+    for it in range(1, max_iter + 1):
+        Da = C[:, :na] @ C[:, :na].T
+        Db = C[:, :nb] @ C[:, :nb].T
+        D = Da + Db
+        J, _ = jk(D)
+        _, Ka = jk(Da)
+        _, Kb = jk(Db)
+        Fa = hcore + J - Ka
+        Fb = hcore + J - Kb
+        e_elec = 0.5 * (np.einsum("pq,pq->", Da, hcore + Fa)
+                        + np.einsum("pq,pq->", Db, hcore + Fb))
+
+        # Roothaan effective Fock in the current MO basis:
+        #   closed-closed/open-open/virtual-virtual: (Fa+Fb)/2
+        #   closed-open: Fb   closed-virtual: (Fa+Fb)/2   open-virtual: Fa
+        FaM = C.T @ Fa @ C
+        FbM = C.T @ Fb @ C
+        FcM = 0.5 * (FaM + FbM)
+        R = FcM.copy()
+        c, o, v = slice(0, nb), slice(nb, na), slice(na, C.shape[1])
+        R[c, o] = FbM[c, o]
+        R[o, c] = FbM[o, c]
+        R[o, v] = FaM[o, v]
+        R[v, o] = FaM[v, o]
+
+        # DIIS on the AO-projected effective Fock with the orbital-gradient
+        # error (the off-diagonal occupied-virtual coupling blocks)
+        Sc = S @ C
+        R_ao = Sc @ R @ Sc.T
+        grad = np.zeros_like(R)
+        grad[c, o], grad[c, v], grad[o, v] = R[c, o], R[c, v], R[o, v]
+        errs.append(grad)
+        focks.append(R_ao)
+        if len(errs) > diis_size:
+            errs.pop(0)
+            focks.pop(0)
+        R_use = R_ao
+        if len(errs) > 1:
+            m = len(errs)
+            B = -np.ones((m + 1, m + 1))
+            B[m, m] = 0.0
+            for i in range(m):
+                for j in range(m):
+                    B[i, j] = np.vdot(errs[i], errs[j])
+            rhs = np.zeros(m + 1)
+            rhs[m] = -1.0
+            try:
+                w = np.linalg.solve(B, rhs)[:m]
+                R_use = sum(wi * Fi for wi, Fi in zip(w, focks))
+            except np.linalg.LinAlgError:
+                pass
+        e_mo, C_ortho = eigh(X.T @ R_use @ X)
+        C = X @ C_ortho
+        if (abs(e_elec - e_old) < conv
+                and np.max(np.abs(errs[-1])) < 1e-7):
+            converged = True
+            e_old = e_elec
+            break
+        e_old = e_elec
+
+    return ROHFResult(
+        energy=float(e_old + e_nuc),
+        mo_coeff=C,
+        mo_energy=e_mo,
+        n_alpha=na,
+        n_beta=nb,
+        converged=converged,
+        n_iter=it,
+    )
+
+
 def mo_integrals(hcore: np.ndarray, eri: np.ndarray, C: np.ndarray):
     """AO -> MO transform.  Returns (h1_mo, eri_mo_physicist) where
     eri_phys[p,q,r,s] = <pq|rs> = (pr|qs)_chemist in the MO basis."""

@@ -19,12 +19,25 @@ import numpy as np
 from .fermion import FermionOperator, FermionTerm
 
 
-def uccsd_excitations(n_spin_orb: int, n_elec: int
+def occupied_spin_orbitals(n_elec: int, n_alpha: int = None) -> List[int]:
+    """Occupied spin-orbitals of the (RO)HF determinant in the interleaved
+    convention.  Closed shell: the lowest n_elec; open shell (n_alpha given):
+    alpha orbitals 0..n_alpha-1 (even) and beta 0..n_beta-1 (odd)."""
+    if n_alpha is None:
+        return list(range(n_elec))
+    n_beta = n_elec - n_alpha
+    return sorted([2 * i for i in range(n_alpha)]
+                  + [2 * i + 1 for i in range(n_beta)])
+
+
+def uccsd_excitations(n_spin_orb: int, n_elec
                       ) -> Tuple[List[Tuple[int, int]], List[Tuple[int, int, int, int]]]:
     """Spin-conserving occupied->virtual singles (i, a) and doubles
-    (i, j, a, b) with i<j, a<b."""
-    occ = list(range(n_elec))
-    virt = list(range(n_elec, n_spin_orb))
+    (i, j, a, b) with i<j, a<b.  ``n_elec`` may be an explicit occupied
+    spin-orbital list (open-shell determinants)."""
+    occ = (list(n_elec) if not isinstance(n_elec, int)
+           else list(range(n_elec)))
+    virt = [p for p in range(n_spin_orb) if p not in set(occ)]
     singles = [(i, a) for i in occ for a in virt if i % 2 == a % 2]
     doubles = []
     for xi, i in enumerate(occ):
@@ -59,6 +72,7 @@ def get_cluster_ops_and_init_guess(
     noons_full: Sequence[float],
     orb_energies_full: Sequence[float],
     hpqrs: np.ndarray,
+    n_alpha: int = None,
 ) -> Tuple[List[FermionOperator], List[float], int]:
     """(cluster_ops, theta_MP2, hf_init).
 
@@ -66,13 +80,15 @@ def get_cluster_ops_and_init_guess(
     t_ijab = <ab||ij> / (e_i + e_j - e_a - e_b); singles get 0.
     hf_init encodes the HF determinant with spin-orbital 0 as MSB
     (the layout consumed by numpy.binary_repr at molecule_factory.py:486).
+    Pass ``n_alpha`` for an open-shell (ROHF) reference determinant.
     """
     n = len(list(noons_full))
     eps = np.asarray(orb_energies_full, dtype=float)
     ops: List[FermionOperator] = []
     thetas: List[float] = []
 
-    singles, doubles = uccsd_excitations(n, n_elec)
+    occ = occupied_spin_orbitals(n_elec, n_alpha)
+    singles, doubles = uccsd_excitations(n, occ)
     for (i, a) in singles:
         ops.append(single_op(i, a, n))
         thetas.append(0.0)
@@ -84,6 +100,6 @@ def get_cluster_ops_and_init_guess(
         thetas.append(float((g_abij - g_abji) / denom) if denom != 0 else 0.0)
 
     hf_init = 0
-    for k in range(n_elec):
+    for k in occ:
         hf_init |= 1 << (n - 1 - k)
     return ops, thetas, hf_init
