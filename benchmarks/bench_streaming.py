@@ -74,12 +74,14 @@ def parity(n=18, G=6, K=4):
         jnp.asarray(theta), jnp.asarray(psi), jnp.asarray(lam), g0,
         jnp.asarray(x), jnp.asarray(z), jnp.asarray(coef), jnp.asarray(op))
     rev = slice(None, None, -1)
-    angles = -np.asarray(theta)[sd.op[rev]]
+    sda = st.build_stream_data(n, x, z, coef, op=op,
+                               chunk_bits=st.ADJ_CHUNK_BITS)
+    angles = -np.asarray(theta)[sda.op[rev]]
     po, lo, gts = st.adjoint_sweep_stream(
-        psi, lam, sd.x_huge[rev], sd.mb[rev], sd.n_outer[rev],
-        sd.x_chunk[rev], sd.x_mid[rev], sd.x_lane[rev], angles,
-        sd.z_r[rev], sd.z_c[rev], sd.cre[rev])
-    ga = np.asarray(jax.ops.segment_sum(gts, jnp.asarray(sd.op[rev]),
+        psi, lam, sda.x_huge[rev], sda.mb[rev], sda.n_outer[rev],
+        sda.x_chunk[rev], sda.x_mid[rev], sda.x_lane[rev], angles,
+        sda.z_r[rev], sda.z_c[rev], sda.cre[rev])
+    ga = np.asarray(jax.ops.segment_sum(gts, jnp.asarray(sda.op[rev]),
                                         num_segments=3))
     da = max(np.max(np.abs(np.asarray(po) - np.asarray(pr))),
              np.max(np.abs(np.asarray(lo) - np.asarray(lr))),
@@ -129,10 +131,12 @@ def bench(n, G, K=8):
     lam = out
     rev = slice(None, None, -1)
     angles = -theta[sd.op[rev]]
+    sd_adj = st.build_stream_data(n, x, z, coef, op=op,
+                                  chunk_bits=st.ADJ_CHUNK_BITS)
     adj = jax.jit(lambda p, l: st.adjoint_sweep_stream(
-        p, l, sd.x_huge[rev], sd.mb[rev], sd.n_outer[rev], sd.x_chunk[rev],
-        sd.x_mid[rev], sd.x_lane[rev], angles, sd.z_r[rev], sd.z_c[rev],
-        sd.cre[rev]))
+        p, l, sd_adj.x_huge[rev], sd_adj.mb[rev], sd_adj.n_outer[rev],
+        sd_adj.x_chunk[rev], sd_adj.x_mid[rev], sd_adj.x_lane[rev], angles,
+        sd_adj.z_r[rev], sd_adj.z_c[rev], sd_adj.cre[rev]))
     r = adj(out, lam)
     jax.block_until_ready(r[0])
     t0 = time.time()

@@ -96,8 +96,15 @@ def _objective_and_screen(hamiltonian_sp: PauliSum, n: int, pool_ops, mesh):
         return objective, sh.build_sharded_pool_gradient_fn(pool_ops,
                                                             objective)
     objective = VQEObjective(hamiltonian_sp, n)
-    grad_fn = gr.build_grouped_pool_gradient_fn(
-        gr.group_pool(compile_pool(pool_ops, n)), objective.gham)
+    gpool = gr.group_pool(compile_pool(pool_ops, n))
+    if objective._streaming:
+        # 21+ qubits: streamed screen in watchdog-sized group segments
+        # (the monolithic jitted scan would blow the per-call budget)
+        from ..sim import streaming as stm
+        grad_fn = stm.build_streaming_pool_gradient_fn(
+            gpool, objective.ham_apply)
+    else:
+        grad_fn = gr.build_grouped_pool_gradient_fn(gpool, objective.gham)
     return objective, grad_fn
 
 

@@ -186,8 +186,7 @@ class VQEObjective:
                               for a in pk.seq_args(pk.seq_group_data(gseq)))
             stargs = None
             if self._streaming and gseq.n_groups:
-                stargs = self._st_prepare(
-                    st.seq_stream_args(st.stream_seq_data(gseq)))
+                stargs = self._st_prepare(gseq)
             sargs = tuple(jnp.asarray(a) for a in gr.seq_as_device(gseq))
             return BoundAnsatz(self, sargs, self._psi0(hf_init),
                                len(generators), grouped=True, pargs=pargs,
@@ -224,12 +223,22 @@ class BoundAnsatz:
         self._grouped = grouped
         self._pargs = pargs        # pallas group operands (or None)
         self._stargs = stargs      # streaming prepared segments (or None)
+        self._psi0_stream = None   # device-resident psi0 (streaming path)
         self.n_ops = n_ops
+
+    def _psi0_st(self):
+        """Device-resident psi0 master: a 2^n-state host->device transfer
+        per evaluation would ride the tunnel at 26+ qubits."""
+        if self._psi0_stream is None:
+            self._psi0_stream = jnp.asarray(
+                np.asarray(self._psi0, np.float32))
+        return self._psi0_stream
 
     def energy(self, theta) -> float:
         obj = self._obj
         if self._stargs is not None:
-            return float(obj._st_energy(theta, self._psi0, self._stargs))
+            return float(obj._st_energy(theta, self._psi0_st(),
+                                        self._stargs))
         if self._pargs is not None:
             return float(obj._p_energy(jnp.asarray(theta, dtype=float),
                                        jnp.asarray(self._psi0), self._pargs))
@@ -249,7 +258,8 @@ class BoundAnsatz:
     def energy_and_grad(self, theta) -> Tuple[float, np.ndarray]:
         obj = self._obj
         if self._stargs is not None:
-            return obj._st_energy_and_grad(theta, self._psi0, self._stargs)
+            return obj._st_energy_and_grad(theta, self._psi0_st(),
+                                           self._stargs)
         if self._pargs is not None:
             e, g = obj._p_energy_and_grad(jnp.asarray(theta, dtype=float),
                                           jnp.asarray(self._psi0),
@@ -276,7 +286,7 @@ class BoundAnsatz:
         """Final statevector planes (device array, shape (2, 2^n))."""
         obj = self._obj
         if self._stargs is not None:
-            return obj._st_forward(theta, self._psi0, self._stargs)
+            return obj._st_forward(theta, self._psi0_st(), self._stargs)
         theta = jnp.asarray(theta, dtype=float)
         if self._pargs is not None:
             return obj._p_forward(theta, jnp.asarray(self._psi0),

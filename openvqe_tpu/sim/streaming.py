@@ -50,6 +50,7 @@ LANE = 128
 SUB = 128
 TILE_BITS = 14
 CHUNK_BITS = 3                 # C = 8 tiles/chunk = 512 KB per plane-chunk
+ADJ_CHUNK_BITS = 2             # adjoint streams 4 states: half-size chunks
 MIN_N = TILE_BITS + CHUNK_BITS + 1
 
 
@@ -125,9 +126,10 @@ def build_stream_data(n: int, x: np.ndarray, z: np.ndarray, coef: np.ndarray,
         op=None if op is None else np.asarray(op, np.int32))
 
 
-def stream_seq_data(gseq) -> StreamGroupData:
+def stream_seq_data(gseq, chunk_bits: int = CHUNK_BITS) -> StreamGroupData:
     """From a GroupedOpSequence (sim/grouped.py)."""
-    return build_stream_data(gseq.n, gseq.x, gseq.z, gseq.s, op=gseq.op)
+    return build_stream_data(gseq.n, gseq.x, gseq.z, gseq.s, op=gseq.op,
+                             chunk_bits=chunk_bits)
 
 
 def stream_ham_data(gham) -> StreamGroupData:
@@ -268,9 +270,27 @@ class _GroupCtx:
     def perm(self, X):
         """Partner content for chunk X (C, 128, 128): in-tile index XOR via
         two C-batched MXU matmuls, in-chunk tile XOR via roll chains.
-        out[i] = Pmid @ X[i ^ x_chunk] @ Plo."""
-        U = _pmm(X, self.pmid, ((1,), (0,)))    # (C, lane, sub')
-        V = _pmm(U, self.plo, ((1,), (0,)))     # (C, sub', lane')
+        out[i] = Pmid @ X[i ^ x_chunk] @ Plo.
+
+        bf16x3 mode splits X into limbs ONCE: a permutation of exact bf16
+        values is still exactly bf16-representable, so the second stage
+        permutes the PERMUTED limbs (lossless casts) instead of re-splitting
+        the f32 intermediate — 6 bf16 MXU passes, bitwise-exact, half the
+        VPU split traffic."""
+        if _STREAM_MM == "highest":
+            U = _mm(X, self.pmid, ((1,), (0,)))
+            V = _mm(U, self.plo, ((1,), (0,)))
+            return _xor_roll(V, self.xc, 0)
+        pmid16 = self.pmid.astype(jnp.bfloat16)
+        plo16 = self.plo.astype(jnp.bfloat16)
+        V = None
+        for limb in _split_limbs(X):
+            u = jax.lax.dot_general(limb, pmid16, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            v = jax.lax.dot_general(u.astype(jnp.bfloat16), plo16,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            V = v if V is None else V + v
         return _xor_roll(V, self.xc, 0)
 
     def field(self, W, h, C):
@@ -286,6 +306,7 @@ class _GroupCtx:
 def _pair_index(i, xh, mb):
     """Outer-iteration -> chunk index: enumerate h with bit mb == 0 when
     pairing across chunks (xh > 0), identity otherwise."""
+    i = jnp.asarray(i, jnp.int32)
     low = i & ((jnp.int32(1) << mb) - 1)
     paired = ((i >> mb) << (mb + 1)) | low
     return jax.lax.select(xh > 0, paired, i)
@@ -313,10 +334,16 @@ def _resolve_interpret(interpret):
 
 
 # -------------------------------------------------------- rotation sweep
+#
+# Double-buffered pipeline: in-DMAs for chunk-pair i+1 start while pair i
+# computes; out-DMAs overlap the next pair's compute (the slot's previous
+# write-back is waited before its staging buffer is reused).  Pairs within
+# a group are disjoint tiles, so overlapping reads/writes never alias; all
+# writes are waited before the grid step ends (group g+1 reads everything).
 
 def _rot_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
                        ang_ref, zr_ref, zc_ref, cre_ref, psi_in_ref, psi_ref,
-                       bufA, bufB, outA, outB, sems):
+                       bufA, bufB, outA, outB, sin, sout):
     g = pl.program_id(0)
     xh = xh_ref[g]
     mb = mb_ref[g]
@@ -324,7 +351,39 @@ def _rot_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
     ang = ang_ref[g]
     ctx = _GroupCtx(xm_ref[g], xl_ref[g], xc_ref[g], zr_ref[0], zc_ref[0],
                     cre_ref[0])
-    C = bufA.shape[1]
+    C = bufA.shape[2]
+
+    def in_dmas(i):
+        slot = i & 1
+        h = _pair_index(i, xh, mb)
+        hh = h ^ xh
+        d = [pltpu.make_async_copy(psi_ref.at[p, pl.ds(h * C, C)],
+                                   bufA.at[slot, p], sin.at[slot, p])
+             for p in (0, 1)]
+        db = [pltpu.make_async_copy(psi_ref.at[p, pl.ds(hh * C, C)],
+                                    bufB.at[slot, p], sin.at[slot, 2 + p])
+              for p in (0, 1)]
+        return d, db
+
+    def out_dmas(i):
+        slot = i & 1
+        h = _pair_index(i, xh, mb)
+        hh = h ^ xh
+        d = [pltpu.make_async_copy(outA.at[slot, p],
+                                   psi_ref.at[p, pl.ds(h * C, C)],
+                                   sout.at[slot, p]) for p in (0, 1)]
+        db = [pltpu.make_async_copy(outB.at[slot, p],
+                                    psi_ref.at[p, pl.ds(hh * C, C)],
+                                    sout.at[slot, 2 + p]) for p in (0, 1)]
+        return d, db
+
+    def start(dmas):
+        for d in dmas:
+            d.start()
+
+    def wait(dmas):
+        for d in dmas:
+            d.wait()
 
     def rot_chunk(dst, src, partner, h):
         """dst <- cos(B) src + sin(B) roll_xc(perm(partner)) per plane."""
@@ -333,32 +392,71 @@ def _rot_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
         dst[0] = c * src[0] + s * ctx.perm(partner[0])
         dst[1] = c * src[1] + s * ctx.perm(partner[1])
 
-    def outer(i, _):
-        h = _pair_index(i, xh, mb)
-        hh = h ^ xh
-        _dma_chunks([(psi_ref.at[p, pl.ds(h * C, C)], bufA.at[p])
-                     for p in (0, 1)], sems)
+    @pl.when(nout > 0)
+    def _():
+        dA, dB = in_dmas(0)
+        start(dA)
 
         @pl.when(xh > 0)
         def _():
-            _dma_chunks([(psi_ref.at[p, pl.ds(hh * C, C)], bufB.at[p])
-                         for p in (0, 1)], sems)
-            rot_chunk(outA, bufA, bufB, h)
-            rot_chunk(outB, bufB, bufA, hh)
-            _dma_chunks([(outA.at[p], psi_ref.at[p, pl.ds(h * C, C)])
-                         for p in (0, 1)]
-                        + [(outB.at[p], psi_ref.at[p, pl.ds(hh * C, C)])
-                           for p in (0, 1)], sems)
+            start(dB)
+
+    def outer(i, _):
+        slot = i & 1
+        h = _pair_index(i, xh, mb)
+
+        @pl.when(i + 1 < nout)
+        def _():
+            dA, dB = in_dmas(i + 1)
+            start(dA)
+
+            @pl.when(xh > 0)
+            def _():
+                start(dB)
+
+        dA, dB = in_dmas(i)
+        wait(dA)
+
+        # the slot's previous write-back must land before staging is reused
+        @pl.when(i >= 2)
+        def _():
+            oA, oB = out_dmas(i - 2)
+            wait(oA)
+
+            @pl.when(xh > 0)
+            def _():
+                wait(oB)
+
+        @pl.when(xh > 0)
+        def _():
+            wait(dB)
+            rot_chunk(outA.at[slot], bufA.at[slot], bufB.at[slot], h)
+            rot_chunk(outB.at[slot], bufB.at[slot], bufA.at[slot], h ^ xh)
+            oA, oB = out_dmas(i)
+            start(oA)
+            start(oB)
 
         @pl.when(xh == 0)
         def _():
-            rot_chunk(outA, bufA, bufA, h)
-            _dma_chunks([(outA.at[p], psi_ref.at[p, pl.ds(h * C, C)])
-                         for p in (0, 1)], sems)
+            rot_chunk(outA.at[slot], bufA.at[slot], bufA.at[slot], h)
+            oA, _unused = out_dmas(i)
+            start(oA)
 
         return 0
 
     jax.lax.fori_loop(0, nout, outer, 0)
+
+    def drain(i, _):
+        oA, oB = out_dmas(i)
+        wait(oA)
+
+        @pl.when(xh > 0)
+        def _():
+            wait(oB)
+
+        return 0
+
+    jax.lax.fori_loop(jnp.maximum(nout - 2, 0), nout, drain, 0)
 
 
 def apply_grouped_ops_stream(psi, theta, x_huge, mb, n_outer, x_chunk, x_mid,
@@ -388,11 +486,12 @@ def apply_grouped_ops_stream(psi, theta, x_huge, mb, n_outer, x_chunk, x_mid,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, C, SUB, LANE), jnp.float32),   # bufA
-            pltpu.VMEM((2, C, SUB, LANE), jnp.float32),   # bufB
-            pltpu.VMEM((2, C, SUB, LANE), jnp.float32),   # outA
-            pltpu.VMEM((2, C, SUB, LANE), jnp.float32),   # outB
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),   # bufA (slots)
+            pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),   # bufB
+            pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),   # outA
+            pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),   # outB
+            pltpu.SemaphoreType.DMA((2, 4)),                 # in sems
+            pltpu.SemaphoreType.DMA((2, 4)),                 # out sems
         ],
     )
     out = pl.pallas_call(
@@ -413,7 +512,7 @@ def apply_grouped_ops_stream(psi, theta, x_huge, mb, n_outer, x_chunk, x_mid,
 
 def _expect_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
                           zr_ref, zc_ref, cre_ref, cim_ref, psi_ref, out_ref,
-                          bufA, bufB, eacc, sems):
+                          bufA, bufB, eacc, sin):
     g = pl.program_id(0)
 
     @pl.when(g == 0)
@@ -425,8 +524,28 @@ def _expect_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
     nout = nout_ref[g]
     ctx = _GroupCtx(xm_ref[g], xl_ref[g], xc_ref[g], zr_ref[0], zc_ref[0],
                     cre_ref[0], cim_ref[0])
-    C = bufA.shape[1]
+    C = bufA.shape[2]
     eacc[0, 0] = jnp.float32(0.0)
+
+    def in_dmas(i):
+        slot = i & 1
+        h = _pair_index(i, xh, mb)
+        hh = h ^ xh
+        d = [pltpu.make_async_copy(psi_ref.at[p, pl.ds(h * C, C)],
+                                   bufA.at[slot, p], sin.at[slot, p])
+             for p in (0, 1)]
+        db = [pltpu.make_async_copy(psi_ref.at[p, pl.ds(hh * C, C)],
+                                    bufB.at[slot, p], sin.at[slot, 2 + p])
+              for p in (0, 1)]
+        return d, db
+
+    def start(dmas):
+        for d in dmas:
+            d.start()
+
+    def wait(dmas):
+        for d in dmas:
+            d.wait()
 
     def contrib(src, partner, h):
         """Ordered contribution of all C tiles of chunk ``src``:
@@ -438,21 +557,40 @@ def _expect_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
         return jnp.sum(Wre * (src[0] * pb0 + src[1] * pb1)
                        - Wim * (src[0] * pb1 - src[1] * pb0))
 
-    def outer(i, _):
-        h = _pair_index(i, xh, mb)
-        hh = h ^ xh
-        _dma_chunks([(psi_ref.at[p, pl.ds(h * C, C)], bufA.at[p])
-                     for p in (0, 1)], sems)
+    @pl.when(nout > 0)
+    def _():
+        dA, dB = in_dmas(0)
+        start(dA)
 
         @pl.when(xh > 0)
         def _():
-            _dma_chunks([(psi_ref.at[p, pl.ds(hh * C, C)], bufB.at[p])
-                         for p in (0, 1)], sems)
-            eacc[0, 0] += contrib(bufA, bufB, h) + contrib(bufB, bufA, hh)
+            start(dB)
+
+    def outer(i, _):
+        slot = i & 1
+        h = _pair_index(i, xh, mb)
+
+        @pl.when(i + 1 < nout)
+        def _():
+            dA, dB = in_dmas(i + 1)
+            start(dA)
+
+            @pl.when(xh > 0)
+            def _():
+                start(dB)
+
+        dA, dB = in_dmas(i)
+        wait(dA)
+
+        @pl.when(xh > 0)
+        def _():
+            wait(dB)
+            eacc[0, 0] += (contrib(bufA.at[slot], bufB.at[slot], h)
+                           + contrib(bufB.at[slot], bufA.at[slot], h ^ xh))
 
         @pl.when(xh == 0)
         def _():
-            eacc[0, 0] += contrib(bufA, bufA, h)
+            eacc[0, 0] += contrib(bufA.at[slot], bufA.at[slot], h)
 
         return 0
 
@@ -488,10 +626,10 @@ def expectation_stream(psi, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
         out_specs=pl.BlockSpec((1, 1), lambda g, *r: (0, 0),
                                memory_space=pltpu.SMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, C, SUB, LANE), jnp.float32),
-            pltpu.VMEM((2, C, SUB, LANE), jnp.float32),
+            pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),
+            pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),
             pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
     out = pl.pallas_call(
@@ -512,14 +650,52 @@ def expectation_stream(psi, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
 
 def _ham_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
                        zr_ref, zc_ref, cre_ref, cim_ref, psi_ref, acc_in_ref,
-                       acc_ref, bufA, bufB, accA, accB, sems):
+                       acc_ref, bufA, bufB, accA, accB, sin, sout):
     g = pl.program_id(0)
     xh = xh_ref[g]
     mb = mb_ref[g]
     nout = nout_ref[g]
     ctx = _GroupCtx(xm_ref[g], xl_ref[g], xc_ref[g], zr_ref[0], zc_ref[0],
                     cre_ref[0], cim_ref[0])
-    C = bufA.shape[1]
+    C = bufA.shape[2]
+
+    def in_dmas(i):
+        slot = i & 1
+        h = _pair_index(i, xh, mb)
+        hh = h ^ xh
+        d = ([pltpu.make_async_copy(psi_ref.at[p, pl.ds(h * C, C)],
+                                    bufA.at[slot, p], sin.at[slot, p])
+              for p in (0, 1)]
+             + [pltpu.make_async_copy(acc_ref.at[p, pl.ds(h * C, C)],
+                                      accA.at[slot, p], sin.at[slot, 2 + p])
+                for p in (0, 1)])
+        db = ([pltpu.make_async_copy(psi_ref.at[p, pl.ds(hh * C, C)],
+                                     bufB.at[slot, p], sin.at[slot, 4 + p])
+               for p in (0, 1)]
+              + [pltpu.make_async_copy(acc_ref.at[p, pl.ds(hh * C, C)],
+                                       accB.at[slot, p], sin.at[slot, 6 + p])
+                 for p in (0, 1)])
+        return d, db
+
+    def out_dmas(i):
+        slot = i & 1
+        h = _pair_index(i, xh, mb)
+        hh = h ^ xh
+        d = [pltpu.make_async_copy(accA.at[slot, p],
+                                   acc_ref.at[p, pl.ds(h * C, C)],
+                                   sout.at[slot, p]) for p in (0, 1)]
+        db = [pltpu.make_async_copy(accB.at[slot, p],
+                                    acc_ref.at[p, pl.ds(hh * C, C)],
+                                    sout.at[slot, 2 + p]) for p in (0, 1)]
+        return d, db
+
+    def start(dmas):
+        for d in dmas:
+            d.start()
+
+    def wait(dmas):
+        for d in dmas:
+            d.wait()
 
     def add(dst, partner, h):
         """dst += W(h-chunk tiles) (.) roll_xc(perm(partner)) (complex)."""
@@ -530,36 +706,72 @@ def _ham_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
         dst[0] += Wre * pb0 - Wim * pb1
         dst[1] += Wre * pb1 + Wim * pb0
 
-    def outer(i, _):
-        h = _pair_index(i, xh, mb)
-        hh = h ^ xh
-        _dma_chunks([(psi_ref.at[p, pl.ds(h * C, C)], bufA.at[p])
-                     for p in (0, 1)]
-                    + [(acc_ref.at[p, pl.ds(h * C, C)], accA.at[p])
-                       for p in (0, 1)], sems)
+    @pl.when(nout > 0)
+    def _():
+        dA, dB = in_dmas(0)
+        start(dA)
 
         @pl.when(xh > 0)
         def _():
-            _dma_chunks([(psi_ref.at[p, pl.ds(hh * C, C)], bufB.at[p])
-                         for p in (0, 1)]
-                        + [(acc_ref.at[p, pl.ds(hh * C, C)], accB.at[p])
-                           for p in (0, 1)], sems)
-            add(accA, bufB, h)
-            add(accB, bufA, hh)
-            _dma_chunks([(accA.at[p], acc_ref.at[p, pl.ds(h * C, C)])
-                         for p in (0, 1)]
-                        + [(accB.at[p], acc_ref.at[p, pl.ds(hh * C, C)])
-                           for p in (0, 1)], sems)
+            start(dB)
+
+    def outer(i, _):
+        slot = i & 1
+        h = _pair_index(i, xh, mb)
+
+        @pl.when(i + 1 < nout)
+        def _():
+            # the next in-DMA reloads the other slot's acc staging; its
+            # previous write-back must have landed first
+            @pl.when(i >= 1)
+            def _():
+                oA, oB = out_dmas(i - 1)
+                wait(oA)
+
+                @pl.when(xh > 0)
+                def _():
+                    wait(oB)
+
+            dA, dB = in_dmas(i + 1)
+            start(dA)
+
+            @pl.when(xh > 0)
+            def _():
+                start(dB)
+
+        dA, dB = in_dmas(i)
+        wait(dA)
+
+        @pl.when(xh > 0)
+        def _():
+            wait(dB)
+            add(accA.at[slot], bufB.at[slot], h)
+            add(accB.at[slot], bufA.at[slot], h ^ xh)
+            oA, oB = out_dmas(i)
+            start(oA)
+            start(oB)
 
         @pl.when(xh == 0)
         def _():
-            add(accA, bufA, h)
-            _dma_chunks([(accA.at[p], acc_ref.at[p, pl.ds(h * C, C)])
-                         for p in (0, 1)], sems)
+            add(accA.at[slot], bufA.at[slot], h)
+            oA, _unused = out_dmas(i)
+            start(oA)
 
         return 0
 
     jax.lax.fori_loop(0, nout, outer, 0)
+
+    def drain(i, _):
+        oA, oB = out_dmas(i)
+        wait(oA)
+
+        @pl.when(xh > 0)
+        def _():
+            wait(oB)
+
+        return 0
+
+    jax.lax.fori_loop(jnp.maximum(nout - 2, 0), nout, drain, 0)
 
 
 def ham_apply_stream(psi, acc, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
@@ -591,11 +803,12 @@ def ham_apply_stream(psi, acc, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, C, SUB, LANE), jnp.float32),
-            pltpu.VMEM((2, C, SUB, LANE), jnp.float32),
-            pltpu.VMEM((2, C, SUB, LANE), jnp.float32),
-            pltpu.VMEM((2, C, SUB, LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA((8,)),
+            pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),
+            pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),
+            pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),
+            pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 8)),
+            pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
     out = pl.pallas_call(
@@ -613,12 +826,221 @@ def ham_apply_stream(psi, acc, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
     return out.reshape(2, N)
 
 
+# ----------------------------------------------------- pool overlap screen
+
+def _pool_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
+                        zr_ref, zc_ref, cre_ref, cim_ref, sig_ref, psi_ref,
+                        out_ref, sigA, sigB, bufA, bufB, racc, iacc, sin):
+    """Per-group complex overlap v_g = <sigma| (group of A_i) |psi> — the
+    ADAPT gradient screen v_i = <H psi|A_i|psi> batched over (op, x) groups
+    with both states streamed from HBM."""
+    g = pl.program_id(0)
+    xh = xh_ref[g]
+    mb = mb_ref[g]
+    nout = nout_ref[g]
+    ctx = _GroupCtx(xm_ref[g], xl_ref[g], xc_ref[g], zr_ref[0], zc_ref[0],
+                    cre_ref[0], cim_ref[0])
+    C = bufA.shape[2]
+    racc[0, 0] = jnp.float32(0.0)
+    iacc[0, 0] = jnp.float32(0.0)
+
+    def in_dmas(i):
+        slot = i & 1
+        h = _pair_index(i, xh, mb)
+        hh = h ^ xh
+        d = ([pltpu.make_async_copy(sig_ref.at[p, pl.ds(h * C, C)],
+                                    sigA.at[slot, p], sin.at[slot, p])
+              for p in (0, 1)]
+             + [pltpu.make_async_copy(psi_ref.at[p, pl.ds(h * C, C)],
+                                      bufA.at[slot, p], sin.at[slot, 2 + p])
+                for p in (0, 1)])
+        db = ([pltpu.make_async_copy(sig_ref.at[p, pl.ds(hh * C, C)],
+                                     sigB.at[slot, p], sin.at[slot, 4 + p])
+               for p in (0, 1)]
+              + [pltpu.make_async_copy(psi_ref.at[p, pl.ds(hh * C, C)],
+                                       bufB.at[slot, p], sin.at[slot, 6 + p])
+                 for p in (0, 1)])
+        return d, db
+
+    def start(dmas):
+        for d in dmas:
+            d.start()
+
+    def wait(dmas):
+        for d in dmas:
+            d.wait()
+
+    def contrib(sig, partner, h):
+        """sum_j conj(sigma_j) (W(j) psi_{j^x})_j over chunk tiles."""
+        px0 = ctx.perm(partner[0])
+        px1 = ctx.perm(partner[1])
+        Wre = ctx.field("re", h, C)
+        Wim = ctx.field("im", h, C)
+        zr_ = Wre * px0 - Wim * px1
+        zi_ = Wre * px1 + Wim * px0
+        re = jnp.sum(sig[0] * zr_ + sig[1] * zi_)
+        im = jnp.sum(sig[0] * zi_ - sig[1] * zr_)
+        return re, im
+
+    @pl.when(nout > 0)
+    def _():
+        dA, dB = in_dmas(0)
+        start(dA)
+
+        @pl.when(xh > 0)
+        def _():
+            start(dB)
+
+    def outer(i, _):
+        slot = i & 1
+        h = _pair_index(i, xh, mb)
+
+        @pl.when(i + 1 < nout)
+        def _():
+            dA, dB = in_dmas(i + 1)
+            start(dA)
+
+            @pl.when(xh > 0)
+            def _():
+                start(dB)
+
+        dA, dB = in_dmas(i)
+        wait(dA)
+
+        @pl.when(xh > 0)
+        def _():
+            wait(dB)
+            rA, iA = contrib(sigA.at[slot], bufB.at[slot], h)
+            rB, iB = contrib(sigB.at[slot], bufA.at[slot], h ^ xh)
+            racc[0, 0] += rA + rB
+            iacc[0, 0] += iA + iB
+
+        @pl.when(xh == 0)
+        def _():
+            rA, iA = contrib(sigA.at[slot], bufA.at[slot], h)
+            racc[0, 0] += rA
+            iacc[0, 0] += iA
+
+        return 0
+
+    jax.lax.fori_loop(0, nout, outer, 0)
+    li = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    out_ref[g % 8, :] = jnp.where(
+        li == 0, racc[0, 0], jnp.where(li == 1, iacc[0, 0], 0.0))[0]
+
+
+def pool_overlap_stream(sigma, psi, x_huge, mb, n_outer, x_chunk, x_mid,
+                        x_lane, z_r, z_c, cre, cim,
+                        interpret: Optional[bool] = None):
+    """Per-group (re, im) of <sigma| group |psi>, both states streamed from
+    HBM.  Returns a (G, 2) array; callers segment-sum rows into operators."""
+    interpret = _resolve_interpret(interpret)
+    G0 = z_c.shape[0]
+    pad = (8 - G0 % 8) % 8
+    if pad:
+        def p8(a):
+            return jnp.pad(jnp.asarray(a),
+                           [(0, pad)] + [(0, 0)] * (np.ndim(a) - 1))
+
+        x_huge, mb, x_chunk = p8(x_huge), p8(mb), p8(x_chunk)
+        x_mid, x_lane = p8(x_mid), p8(x_lane)
+        z_r, z_c, cre, cim = p8(z_r), p8(z_c), p8(cre), p8(cim)
+        n_outer = jnp.concatenate([jnp.asarray(n_outer),
+                                   jnp.zeros(pad, jnp.int32)])
+    G, K = z_c.shape[0], z_c.shape[-1]
+    N = psi.shape[-1]
+    T = N >> TILE_BITS
+    C = 1 << CHUNK_BITS
+    sig4 = jnp.asarray(sigma, jnp.float32).reshape(2, T, SUB, LANE)
+    psi4 = jnp.asarray(psi, jnp.float32).reshape(2, T, SUB, LANE)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, K, 1), lambda g, *r: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K), lambda g, *r: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 1), lambda g, *r: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 1), lambda g, *r: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),        # sigma
+            pl.BlockSpec(memory_space=pl.ANY),        # psi
+        ],
+        out_specs=pl.BlockSpec((8, LANE), lambda g, *r: (g // 8, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),
+            pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),
+            pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),
+            pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 8)),
+        ],
+    )
+    rows = pl.pallas_call(
+        _pool_stream_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G, LANE), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(jnp.asarray(x_huge), jnp.asarray(mb), jnp.asarray(n_outer),
+      jnp.asarray(x_chunk), jnp.asarray(x_mid), jnp.asarray(x_lane),
+      jnp.asarray(z_r), jnp.asarray(z_c), jnp.asarray(cre), jnp.asarray(cim),
+      sig4, psi4)
+    return rows[:G0, :2]
+
+
+def build_streaming_pool_gradient_fn(gpool, lham, seg: Optional[int] = None):
+    """Streaming ADAPT pool screen: grads_host(psi) -> complex (n_ops,)
+    v_i = <H psi|A_i|psi>.  ``lham`` supplies H|psi> (the objective's
+    streaming Hamiltonian service); group segments respect the device-call
+    watchdog.  Mirrors grouped.build_grouped_pool_gradient_fn."""
+    n = gpool.n
+    if seg is None:
+        seg = stream_segment_groups(n)
+    sd = build_stream_data(n, gpool.x, gpool.z, gpool.a_re, op=gpool.op,
+                           coef_im=gpool.a_im)
+    hargs = (sd.x_huge, sd.mb, sd.n_outer, sd.x_chunk, sd.x_mid, sd.x_lane,
+             sd.z_r, sd.z_c, sd.cre, sd.cim)
+    segments = _segments(hargs, seg)
+    op_segments = _segments((sd.op,), seg)
+    dev = [tuple(jnp.asarray(a) for a in s) for s in segments]
+    n_ops = gpool.n_ops
+
+    @jax.jit
+    def _seg_overlap(sig, psi, xh, mb_, nout, xc, xm, xl, zr, zc, cre, cim):
+        return pool_overlap_stream(sig, psi, xh, mb_, nout, xc, xm, xl,
+                                   zr, zc, cre, cim)
+
+    @jax.jit
+    def _acc(vre, vim, rows, op):
+        return (vre.at[op].add(rows[:, 0]), vim.at[op].add(rows[:, 1]))
+
+    def grads_host(psi) -> np.ndarray:
+        psi = jnp.asarray(np.asarray(psi, np.float32))
+        sig = lham(psi)
+        vre = jnp.zeros(n_ops, jnp.float32)
+        vim = jnp.zeros(n_ops, jnp.float32)
+        for s, (ops,) in zip(dev, op_segments):
+            rows = _seg_overlap(sig, psi, *s)
+            vre, vim = _acc(vre, vim, rows, jnp.asarray(ops))
+        out = np.asarray(jnp.stack([vre, vim]), dtype=np.float64)
+        return out[0] + 1j * out[1]
+
+    return grads_host
+
+
 # ------------------------------------------------------- reversible adjoint
 
 def _adj_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
                        ang_ref, zr_ref, zc_ref, cre_ref, p_in_ref, l_in_ref,
                        p_ref, l_ref, gt_ref, bufPA, bufPB, bufLA, bufLB,
-                       outPA, outPB, outLA, outLB, gacc, sems):
+                       outPA, outPB, outLA, outLB, gacc, sin, sout):
     g = pl.program_id(0)
     xh = xh_ref[g]
     mb = mb_ref[g]
@@ -626,62 +1048,136 @@ def _adj_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
     ang = ang_ref[g]
     ctx = _GroupCtx(xm_ref[g], xl_ref[g], xc_ref[g], zr_ref[0], zc_ref[0],
                     cre_ref[0])
-    C = bufPA.shape[1]
+    C = bufPA.shape[2]
     gacc[0, 0] = jnp.float32(0.0)
+
+    def in_dmas(i):
+        slot = i & 1
+        h = _pair_index(i, xh, mb)
+        hh = h ^ xh
+        d = ([pltpu.make_async_copy(p_ref.at[p, pl.ds(h * C, C)],
+                                    bufPA.at[slot, p], sin.at[slot, p])
+              for p in (0, 1)]
+             + [pltpu.make_async_copy(l_ref.at[p, pl.ds(h * C, C)],
+                                      bufLA.at[slot, p], sin.at[slot, 2 + p])
+                for p in (0, 1)])
+        db = ([pltpu.make_async_copy(p_ref.at[p, pl.ds(hh * C, C)],
+                                     bufPB.at[slot, p], sin.at[slot, 4 + p])
+               for p in (0, 1)]
+              + [pltpu.make_async_copy(l_ref.at[p, pl.ds(hh * C, C)],
+                                       bufLB.at[slot, p], sin.at[slot, 6 + p])
+                 for p in (0, 1)])
+        return d, db
+
+    def out_dmas(i):
+        h = _pair_index(i, xh, mb)
+        hh = h ^ xh
+        d = ([pltpu.make_async_copy(outPA.at[p],
+                                    p_ref.at[p, pl.ds(h * C, C)],
+                                    sout.at[p]) for p in (0, 1)]
+             + [pltpu.make_async_copy(outLA.at[p],
+                                      l_ref.at[p, pl.ds(h * C, C)],
+                                      sout.at[2 + p]) for p in (0, 1)])
+        db = ([pltpu.make_async_copy(outPB.at[p],
+                                     p_ref.at[p, pl.ds(hh * C, C)],
+                                     sout.at[4 + p]) for p in (0, 1)]
+              + [pltpu.make_async_copy(outLB.at[p],
+                                       l_ref.at[p, pl.ds(hh * C, C)],
+                                       sout.at[6 + p]) for p in (0, 1)])
+        return d, db
+
+    def start(dmas):
+        for d in dmas:
+            d.start()
+
+    def wait(dmas):
+        for d in dmas:
+            d.wait()
 
     def unrot(dstP, dstL, srcP, srcL, pP, pL, h):
         """Un-rotate chunk (srcP, srcL) given partner chunks (pP, pL) and
         accumulate the gradient contribution of its tiles."""
         ph = ctx.field("re", h, C)
         B = ang * ph
-        c, s = jnp.cos(B), jnp.sin(B)
+        c, sn = jnp.cos(B), jnp.sin(B)
         pxp0 = ctx.perm(pP[0])
         pxp1 = ctx.perm(pP[1])
         gt = -2.0 * jnp.sum(ph * (srcL[0] * pxp0 + srcL[1] * pxp1))
-        dstP[0] = c * srcP[0] - s * pxp0
-        dstP[1] = c * srcP[1] - s * pxp1
-        dstL[0] = c * srcL[0] - s * ctx.perm(pL[0])
-        dstL[1] = c * srcL[1] - s * ctx.perm(pL[1])
+        dstP[0] = c * srcP[0] - sn * pxp0
+        dstP[1] = c * srcP[1] - sn * pxp1
+        dstL[0] = c * srcL[0] - sn * ctx.perm(pL[0])
+        dstL[1] = c * srcL[1] - sn * ctx.perm(pL[1])
         return gt
 
-    def outer(i, _):
-        h = _pair_index(i, xh, mb)
-        hh = h ^ xh
-        _dma_chunks([(p_ref.at[p, pl.ds(h * C, C)], bufPA.at[p])
-                     for p in (0, 1)]
-                    + [(l_ref.at[p, pl.ds(h * C, C)], bufLA.at[p])
-                       for p in (0, 1)], sems)
+    @pl.when(nout > 0)
+    def _():
+        dA, dB = in_dmas(0)
+        start(dA)
 
         @pl.when(xh > 0)
         def _():
-            _dma_chunks([(p_ref.at[p, pl.ds(hh * C, C)], bufPB.at[p])
-                         for p in (0, 1)]
-                        + [(l_ref.at[p, pl.ds(hh * C, C)], bufLB.at[p])
-                           for p in (0, 1)], sems)
-            gA = unrot(outPA, outLA, bufPA, bufLA, bufPB, bufLB, h)
-            gB = unrot(outPB, outLB, bufPB, bufLB, bufPA, bufLA, hh)
+            start(dB)
+
+    def outer(i, _):
+        slot = i & 1
+        h = _pair_index(i, xh, mb)
+
+        @pl.when(i + 1 < nout)
+        def _():
+            dA, dB = in_dmas(i + 1)
+            start(dA)
+
+            @pl.when(xh > 0)
+            def _():
+                start(dB)
+
+        dA, dB = in_dmas(i)
+        wait(dA)
+
+        # single out staging: the previous write-back must land before the
+        # staging buffers are overwritten
+        @pl.when(i >= 1)
+        def _():
+            oA, oB = out_dmas(i - 1)
+            wait(oA)
+
+            @pl.when(xh > 0)
+            def _():
+                wait(oB)
+
+        @pl.when(xh > 0)
+        def _():
+            wait(dB)
+            gA = unrot(outPA, outLA, bufPA.at[slot], bufLA.at[slot],
+                       bufPB.at[slot], bufLB.at[slot], h)
+            gB = unrot(outPB, outLB, bufPB.at[slot], bufLB.at[slot],
+                       bufPA.at[slot], bufLA.at[slot], h ^ xh)
             gacc[0, 0] += gA + gB
-            _dma_chunks([(outPA.at[p], p_ref.at[p, pl.ds(h * C, C)])
-                         for p in (0, 1)]
-                        + [(outLA.at[p], l_ref.at[p, pl.ds(h * C, C)])
-                           for p in (0, 1)]
-                        + [(outPB.at[p], p_ref.at[p, pl.ds(hh * C, C)])
-                           for p in (0, 1)]
-                        + [(outLB.at[p], l_ref.at[p, pl.ds(hh * C, C)])
-                           for p in (0, 1)], sems)
+            oA, oB = out_dmas(i)
+            start(oA)
+            start(oB)
 
         @pl.when(xh == 0)
         def _():
-            gA = unrot(outPA, outLA, bufPA, bufLA, bufPA, bufLA, h)
+            gA = unrot(outPA, outLA, bufPA.at[slot], bufLA.at[slot],
+                       bufPA.at[slot], bufLA.at[slot], h)
             gacc[0, 0] += gA
-            _dma_chunks([(outPA.at[p], p_ref.at[p, pl.ds(h * C, C)])
-                         for p in (0, 1)]
-                        + [(outLA.at[p], l_ref.at[p, pl.ds(h * C, C)])
-                           for p in (0, 1)], sems)
+            oA, _unused = out_dmas(i)
+            start(oA)
 
         return 0
 
     jax.lax.fori_loop(0, nout, outer, 0)
+
+    @pl.when(nout > 0)
+    def _():
+        oA, oB = out_dmas(nout - 1)
+        wait(oA)
+
+        @pl.when(xh > 0)
+        def _():
+            wait(oB)
+
     # per-group gradient entry: row g % 8 of the (G // 8)-blocked output
     gt_ref[g % 8, :] = jnp.broadcast_to(gacc[0, 0], (LANE,))
 
@@ -710,7 +1206,7 @@ def adjoint_sweep_stream(p, lam, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
     G, K = z_c.shape[0], z_c.shape[-1]
     N = p.shape[-1]
     T = N >> TILE_BITS
-    C = 1 << CHUNK_BITS
+    C = 1 << ADJ_CHUNK_BITS    # operands must be built with ADJ_CHUNK_BITS
     p4 = jnp.asarray(p, jnp.float32).reshape(2, T, SUB, LANE)
     l4 = jnp.asarray(lam, jnp.float32).reshape(2, T, SUB, LANE)
 
@@ -734,8 +1230,12 @@ def adjoint_sweep_stream(p, lam, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=(
-            [pltpu.VMEM((2, C, SUB, LANE), jnp.float32) for _ in range(8)]
+            [pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32)
+             for _ in range(4)]                              # in (slots)
+            + [pltpu.VMEM((2, C, SUB, LANE), jnp.float32)
+               for _ in range(4)]                            # out staging
             + [pltpu.SMEM((1, 1), jnp.float32),
+               pltpu.SemaphoreType.DMA((2, 8)),
                pltpu.SemaphoreType.DMA((8,))]),
     )
     p_out, l_out, gts = pl.pallas_call(
@@ -877,19 +1377,32 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
     def _grad_add(grad, op, gts):
         return grad.at[op].add(gts.astype(grad.dtype))
 
-    def prepare_seq(seq_args):
-        """Lower seq_stream_args(...) to device-resident (forward segments,
-        reversed segments) tuples — do this once per bind."""
-        if seq_args is None or len(seq_args[0]) == 0:
+    def prepare_seq(gseq):
+        """Lower a GroupedOpSequence to device-resident (forward segments,
+        reversed segments) tuples — once per bind.  The adjoint streams four
+        states, so its geometry uses half-size chunks (ADJ_CHUNK_BITS)."""
+        if gseq is None or gseq.n_groups == 0:
             return [], []
-        segs = _segments(seq_args, seg)
-        fwd = [tuple(jnp.asarray(a) for a in s) for s in segs]
+        fwd_args = seq_stream_args(stream_seq_data(gseq))
+        adj_args = seq_stream_args(
+            stream_seq_data(gseq, chunk_bits=ADJ_CHUNK_BITS))
+        fwd = [tuple(jnp.asarray(a) for a in s)
+               for s in _segments(fwd_args, seg)]
         rev = [tuple(jnp.asarray(np.ascontiguousarray(np.asarray(a)[::-1]))
-                     for a in s) for s in reversed(segs)]
+                     for a in s)
+               for s in reversed(_segments(adj_args, seg))]
         return fwd, rev
 
+    @jax.jit
+    def _fresh_copy(x):
+        # the cached device-resident psi0 master must never be donated
+        return x + jnp.float32(0.0)
+
     def forward(theta, psi0, prepared):
-        psi = jnp.asarray(np.asarray(psi0, np.float32))
+        if isinstance(psi0, jax.Array):
+            psi = _fresh_copy(psi0)
+        else:
+            psi = jnp.asarray(np.asarray(psi0, np.float32))
         theta = jnp.asarray(np.asarray(theta, np.float32))
         for s in prepared[0]:
             psi = _rot_seg(psi, theta, *s)

@@ -164,6 +164,39 @@ def test_objective_streaming_end_to_end(monkeypatch):
     assert abs(st_obj.expectation(psi) - ref_obj.expectation(psi)) < 1e-5
 
 
+def test_pool_overlap_parity(data):
+    """Streaming ADAPT screen == the XLA grouped pool-gradient overlaps."""
+    x, z, coef, op, theta, psi = data
+    rng = np.random.default_rng(11)
+    cim = rng.normal(size=coef.shape).astype(np.float32) * 0.1
+    sigma = _random_state(rng, N)
+    n_ops = 3
+
+    from openvqe_tpu.sim.grouped import GroupedPool
+    gpool = GroupedPool(n=N, x=x, z=z, a_re=coef, a_im=cim, op=op,
+                        n_ops=n_ops)
+    grads = st.build_streaming_pool_gradient_fn(
+        gpool, lham=lambda p: jnp.asarray(sigma))
+    v_st = grads(psi)
+
+    # reference: explicit per-group overlaps on the scan path
+    vre = np.zeros(n_ops)
+    vim = np.zeros(n_ops)
+    for g in range(len(x)):
+        px = np.asarray(gr.xor_perm(jnp.asarray(psi), jnp.int32(x[g])))
+        w_re = np.asarray(gr._sign_field(jnp.asarray(z[g]),
+                                         jnp.asarray(coef[g]), N)).reshape(-1)
+        w_im = np.asarray(gr._sign_field(jnp.asarray(z[g]),
+                                         jnp.asarray(cim[g]), N)).reshape(-1)
+        zr_ = w_re * px[0] - w_im * px[1]
+        zi_ = w_re * px[1] + w_im * px[0]
+        vre[op[g]] += float(np.sum(sigma[0] * zr_ + sigma[1] * zi_))
+        vim[op[g]] += float(np.sum(sigma[0] * zi_ - sigma[1] * zr_))
+
+    np.testing.assert_allclose(np.real(v_st), vre, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.imag(v_st), vim, rtol=1e-4, atol=1e-5)
+
+
 def test_adjoint_parity(data):
     x, z, coef, op, theta, psi = data
     rng = np.random.default_rng(10)
@@ -173,7 +206,8 @@ def test_adjoint_parity(data):
         jnp.asarray(theta), jnp.asarray(psi), jnp.asarray(lam), grad0,
         jnp.asarray(x), jnp.asarray(z), jnp.asarray(coef), jnp.asarray(op))
 
-    sd = st.build_stream_data(N, x, z, coef, op=op)
+    sd = st.build_stream_data(N, x, z, coef, op=op,
+                              chunk_bits=st.ADJ_CHUNK_BITS)
     rev = slice(None, None, -1)
     angles = -np.asarray(theta)[sd.op[rev]]
     p_out, l_out, gts = st.adjoint_sweep_stream(
