@@ -64,12 +64,21 @@ class VQEObjective:
                         and os.environ.get("OVQE_PALLAS", "1") != "0")
         if self._pallas:
             self._build_pallas_programs()
-        # streaming Pallas kernels: HBM-resident state for 21+ qubits
+        # streaming Pallas kernels: HBM-resident state for 20+ qubits
         # (sim/streaming.py) — replaces the XLA grouped segmented path on
-        # the forward sweep, <H>, H|psi>, and adjoint
-        self._streaming = (self.segmented and st.streaming_supported(self.n)
+        # the forward sweep, <H>, H|psi>, and adjoint.  At exactly 20
+        # qubits the VMEM path still runs its H pass and adjoint through
+        # XLA (the 2-state VMEM kernels cap at 19), so streaming wins
+        # there too (measured on H10).  OVQE_STREAM: 1 (default policy),
+        # 0 (off), force (wherever supported).
+        stream_env = os.environ.get("OVQE_STREAM", "1")
+        want = (self.segmented or self.n > pk.MAX_N_2STATE
+                if stream_env != "force" else True)
+        self._streaming = (want and st.streaming_supported(self.n)
                            and sv.default_rdtype() == np.float32
-                           and os.environ.get("OVQE_STREAM", "1") != "0")
+                           and stream_env != "0")
+        if self._streaming:
+            self._pallas = False          # one fast path per objective
         if self._streaming:
             (self._st_energy, self._st_energy_and_grad, self._st_forward,
              self._st_lham, self._st_expect, self._st_prepare) = \

@@ -109,6 +109,12 @@ def build_stream_data(n: int, x: np.ndarray, z: np.ndarray, coef: np.ndarray,
         if x_huge[g]:
             mb[g] = int(x_huge[g]).bit_length() - 1
             n_outer[g] = H // 2
+    # bucket-padding groups (x = 0, all-zero coefficients) are identities:
+    # skip their full-state pass entirely
+    inert = (xi == 0) & (np.max(np.abs(coef), axis=1, initial=0.0) == 0.0)
+    if coef_im is not None:
+        inert &= np.max(np.abs(coef_im), axis=1, initial=0.0) == 0.0
+    n_outer[inert] = 0
     zp = np.zeros((G, Kp), np.int32)
     zp[:, :K] = z
     crep = np.zeros((G, Kp), np.float32)
@@ -1070,20 +1076,21 @@ def _adj_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
         return d, db
 
     def out_dmas(i):
+        slot = i & 1
         h = _pair_index(i, xh, mb)
         hh = h ^ xh
-        d = ([pltpu.make_async_copy(outPA.at[p],
+        d = ([pltpu.make_async_copy(outPA.at[slot, p],
                                     p_ref.at[p, pl.ds(h * C, C)],
-                                    sout.at[p]) for p in (0, 1)]
-             + [pltpu.make_async_copy(outLA.at[p],
+                                    sout.at[slot, p]) for p in (0, 1)]
+             + [pltpu.make_async_copy(outLA.at[slot, p],
                                       l_ref.at[p, pl.ds(h * C, C)],
-                                      sout.at[2 + p]) for p in (0, 1)])
-        db = ([pltpu.make_async_copy(outPB.at[p],
+                                      sout.at[slot, 2 + p]) for p in (0, 1)])
+        db = ([pltpu.make_async_copy(outPB.at[slot, p],
                                      p_ref.at[p, pl.ds(hh * C, C)],
-                                     sout.at[4 + p]) for p in (0, 1)]
-              + [pltpu.make_async_copy(outLB.at[p],
+                                     sout.at[slot, 4 + p]) for p in (0, 1)]
+              + [pltpu.make_async_copy(outLB.at[slot, p],
                                        l_ref.at[p, pl.ds(hh * C, C)],
-                                       sout.at[6 + p]) for p in (0, 1)])
+                                       sout.at[slot, 6 + p]) for p in (0, 1)])
         return d, db
 
     def start(dmas):
@@ -1134,11 +1141,11 @@ def _adj_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
         dA, dB = in_dmas(i)
         wait(dA)
 
-        # single out staging: the previous write-back must land before the
-        # staging buffers are overwritten
-        @pl.when(i >= 1)
+        # the slot's previous write-back must land before its staging
+        # buffers are overwritten
+        @pl.when(i >= 2)
         def _():
-            oA, oB = out_dmas(i - 1)
+            oA, oB = out_dmas(i - 2)
             wait(oA)
 
             @pl.when(xh > 0)
@@ -1148,9 +1155,11 @@ def _adj_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
         @pl.when(xh > 0)
         def _():
             wait(dB)
-            gA = unrot(outPA, outLA, bufPA.at[slot], bufLA.at[slot],
+            gA = unrot(outPA.at[slot], outLA.at[slot],
+                       bufPA.at[slot], bufLA.at[slot],
                        bufPB.at[slot], bufLB.at[slot], h)
-            gB = unrot(outPB, outLB, bufPB.at[slot], bufLB.at[slot],
+            gB = unrot(outPB.at[slot], outLB.at[slot],
+                       bufPB.at[slot], bufLB.at[slot],
                        bufPA.at[slot], bufLA.at[slot], h ^ xh)
             gacc[0, 0] += gA + gB
             oA, oB = out_dmas(i)
@@ -1159,7 +1168,8 @@ def _adj_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
         @pl.when(xh == 0)
         def _():
-            gA = unrot(outPA, outLA, bufPA.at[slot], bufLA.at[slot],
+            gA = unrot(outPA.at[slot], outLA.at[slot],
+                       bufPA.at[slot], bufLA.at[slot],
                        bufPA.at[slot], bufLA.at[slot], h)
             gacc[0, 0] += gA
             oA, _unused = out_dmas(i)
@@ -1169,14 +1179,17 @@ def _adj_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
     jax.lax.fori_loop(0, nout, outer, 0)
 
-    @pl.when(nout > 0)
-    def _():
-        oA, oB = out_dmas(nout - 1)
+    def drain(i, _):
+        oA, oB = out_dmas(i)
         wait(oA)
 
         @pl.when(xh > 0)
         def _():
             wait(oB)
+
+        return 0
+
+    jax.lax.fori_loop(jnp.maximum(nout - 2, 0), nout, drain, 0)
 
     # per-group gradient entry: row g % 8 of the (G // 8)-blocked output
     gt_ref[g % 8, :] = jnp.broadcast_to(gacc[0, 0], (LANE,))
@@ -1231,12 +1244,10 @@ def adjoint_sweep_stream(p, lam, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
         ),
         scratch_shapes=(
             [pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32)
-             for _ in range(4)]                              # in (slots)
-            + [pltpu.VMEM((2, C, SUB, LANE), jnp.float32)
-               for _ in range(4)]                            # out staging
+             for _ in range(8)]                    # in + out staging (slots)
             + [pltpu.SMEM((1, 1), jnp.float32),
                pltpu.SemaphoreType.DMA((2, 8)),
-               pltpu.SemaphoreType.DMA((8,))]),
+               pltpu.SemaphoreType.DMA((2, 8))]),
     )
     p_out, l_out, gts = pl.pallas_call(
         _adj_stream_kernel,
