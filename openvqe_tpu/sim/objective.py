@@ -55,36 +55,35 @@ class VQEObjective:
              self._forward) = gr.build_grouped_dynamic_energy_fn(self.gham)
             hargs = gr.ham_as_device(self.gham)
             self._lham = jax.jit(lambda psi: gr.grouped_ham_apply(psi, *hargs))
-        # Pallas fused kernels: VMEM-resident rotation sweep + expectation
-        # (TPU, f32, 14 <= n <= 20 — sim/pallas_kernels.py); the adjoint and
-        # H|psi> stay on the XLA grouped path
+        # ONE Pallas fast path per objective, decided before anything is
+        # built:
+        #   * streaming kernels (sim/streaming.py, HBM-resident state) for
+        #     20+ qubits — at exactly 20 the VMEM path would still run its
+        #     H pass and adjoint through XLA (the 2-state VMEM kernels cap
+        #     at 19), so streaming wins there too (0.26 vs 0.58 s/iter on
+        #     H10).  OVQE_STREAM: 1 (default policy), 0 (off), force
+        #     (wherever supported).
+        #   * VMEM-resident kernels (sim/pallas_kernels.py) for 14-20
+        #     qubits otherwise.  OVQE_PALLAS=0 disables.
         import os
-        self._pallas = (not self.segmented and pk.pallas_supported(self.n)
-                        and sv.default_rdtype() == np.float32
+        f32 = sv.default_rdtype() == np.float32
+        stream_env = os.environ.get("OVQE_STREAM", "1")
+        want_stream = (True if stream_env == "force"
+                       else self.segmented or self.n > pk.MAX_N_2STATE)
+        self._streaming = (want_stream and st.streaming_supported(self.n)
+                           and f32 and stream_env != "0")
+        self._pallas = (not self._streaming and not self.segmented
+                        and pk.pallas_supported(self.n) and f32
                         and os.environ.get("OVQE_PALLAS", "1") != "0")
         if self._pallas:
             self._build_pallas_programs()
-        # streaming Pallas kernels: HBM-resident state for 20+ qubits
-        # (sim/streaming.py) — replaces the XLA grouped segmented path on
-        # the forward sweep, <H>, H|psi>, and adjoint.  At exactly 20
-        # qubits the VMEM path still runs its H pass and adjoint through
-        # XLA (the 2-state VMEM kernels cap at 19), so streaming wins
-        # there too (measured on H10).  OVQE_STREAM: 1 (default policy),
-        # 0 (off), force (wherever supported).
-        stream_env = os.environ.get("OVQE_STREAM", "1")
-        want = (self.segmented or self.n > pk.MAX_N_2STATE
-                if stream_env != "force" else True)
-        self._streaming = (want and st.streaming_supported(self.n)
-                           and sv.default_rdtype() == np.float32
-                           and stream_env != "0")
-        if self._streaming:
-            self._pallas = False          # one fast path per objective
         if self._streaming:
             (self._st_energy, self._st_energy_and_grad, self._st_forward,
              self._st_lham, self._st_expect, self._st_prepare) = \
                 st.build_streaming_energy_fn(self.gham)
         self._fallback_fns = None       # built lazily for non-odd-Y ansaetze
         self._psi0_cache: Dict[int, np.ndarray] = {}
+        self._psi0_dev_cache: Dict[int, "jnp.ndarray"] = {}
 
     def _build_pallas_programs(self):
         n = self.n
@@ -168,6 +167,15 @@ class VQEObjective:
                                                     self.cdtype)
         return self._psi0_cache[hf_init]
 
+    def _psi0_device(self, hf_init: int):
+        """Device-resident psi0 master, cached per hf_init: ADAPT re-binds
+        every outer iteration and a 2^n host->device transfer per bind
+        would ride the tunnel at 26+ qubits."""
+        if hf_init not in self._psi0_dev_cache:
+            self._psi0_dev_cache[hf_init] = jnp.asarray(
+                np.asarray(self._psi0(hf_init), np.float32))
+        return self._psi0_dev_cache[hf_init]
+
     def _fallback(self):
         if self._fallback_fns is None:
             if self.segmented:
@@ -199,7 +207,7 @@ class VQEObjective:
             sargs = tuple(jnp.asarray(a) for a in gr.seq_as_device(gseq))
             return BoundAnsatz(self, sargs, self._psi0(hf_init),
                                len(generators), grouped=True, pargs=pargs,
-                               stargs=stargs)
+                               stargs=stargs, hf_init=hf_init)
         if not self.segmented:
             seq = sv.pad_sequence(seq, sv.bucket_size(max(seq.n_terms, 1)))
         return BoundAnsatz(self, sv.seq_as_device(seq, self.cdtype),
@@ -225,23 +233,23 @@ class VQEObjective:
 class BoundAnsatz:
 
     def __init__(self, objective: VQEObjective, seq_args, psi0, n_ops: int,
-                 grouped: bool = True, pargs=None, stargs=None):
+                 grouped: bool = True, pargs=None, stargs=None,
+                 hf_init: Optional[int] = None):
         self._obj = objective
         self._seq_args = seq_args
         self._psi0 = psi0
         self._grouped = grouped
         self._pargs = pargs        # pallas group operands (or None)
         self._stargs = stargs      # streaming prepared segments (or None)
-        self._psi0_stream = None   # device-resident psi0 (streaming path)
+        self._hf_init = hf_init
         self.n_ops = n_ops
 
     def _psi0_st(self):
-        """Device-resident psi0 master: a 2^n-state host->device transfer
-        per evaluation would ride the tunnel at 26+ qubits."""
-        if self._psi0_stream is None:
-            self._psi0_stream = jnp.asarray(
-                np.asarray(self._psi0, np.float32))
-        return self._psi0_stream
+        """Device-resident psi0 (cached on the OBJECTIVE per hf_init —
+        ADAPT re-binds every outer iteration)."""
+        if self._hf_init is not None:
+            return self._obj._psi0_device(self._hf_init)
+        return jnp.asarray(np.asarray(self._psi0, np.float32))
 
     def energy(self, theta) -> float:
         obj = self._obj

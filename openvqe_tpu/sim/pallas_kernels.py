@@ -52,8 +52,9 @@ MAX_N = 20              # 2 * 2^20 * 4 B = 8 MB VMEM for the resident state
 
 
 def pallas_supported(n: int) -> bool:
+    # Mosaic lowers on TPU-family backends only ("axon" = the bench chip)
     return (MIN_N <= n <= MAX_N
-            and jax.default_backend() not in ("cpu",))
+            and jax.default_backend() in ("tpu", "axon"))
 
 
 # ------------------------------------------------------------ host prep
@@ -375,7 +376,7 @@ MAX_N_2STATE = 19
 
 def pallas_2state_supported(n: int) -> bool:
     return (MIN_N <= n <= MAX_N_2STATE
-            and jax.default_backend() not in ("cpu",))
+            and jax.default_backend() in ("tpu", "axon"))
 
 
 def _ham_kernel(xtop_ref, xmid_ref, xlane_ref, wl_ref, wli_ref, sm_ref,

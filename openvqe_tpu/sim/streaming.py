@@ -55,7 +55,10 @@ MIN_N = TILE_BITS + CHUNK_BITS + 1
 
 
 def streaming_supported(n: int) -> bool:
-    return n >= MIN_N and jax.default_backend() not in ("cpu",)
+    # Mosaic kernels lower on TPU-family backends only (the axon plugin
+    # registers the bench chip as "axon"); a GPU backend must fall back to
+    # the XLA grouped path rather than crash in pltpu lowering
+    return n >= MIN_N and jax.default_backend() in ("tpu", "axon")
 
 
 # --------------------------------------------------------------- host prep
@@ -160,11 +163,6 @@ def ham_stream_args(sd: StreamGroupData):
             sd.z_r, sd.z_c, sd.cre, cim)
 
 
-def slice_args(args, lo: int, hi: int):
-    """Group-axis slice of a stream argument tuple (host segmentation)."""
-    return tuple(None if a is None else a[lo:hi] for a in args)
-
-
 # ---------------------------------------------------------------- kernels
 #
 # All per-chunk work is CHUNK-VECTORIZED: the in-tile permutation runs as
@@ -219,10 +217,28 @@ def _pmm(X, P, dims):
     return out
 
 
-def _perm_matrix(x_scalar):
-    i = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
-    return (jnp.bitwise_xor(i, j) == x_scalar).astype(jnp.float32)
+from .pallas_kernels import _perm_kernel_matrix as _perm_matrix
+
+
+def _start(dmas):
+    for d in dmas:
+        d.start()
+
+
+def _wait(dmas):
+    for d in dmas:
+        d.wait()
+
+
+def _pad_group8(arrs):
+    """Pad the group axis of every array to a multiple of 8 with inert
+    groups (zero n_outer / zero coefficients)."""
+    G0 = len(arrs[0])
+    pad = (8 - G0 % 8) % 8
+    if not pad:
+        return [jnp.asarray(a) for a in arrs]
+    return [jnp.pad(jnp.asarray(a), [(0, pad)] + [(0, 0)] * (np.ndim(a) - 1))
+            for a in arrs]
 
 
 def _parity_sign(v):
@@ -383,14 +399,6 @@ def _rot_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
                                     sout.at[slot, 2 + p]) for p in (0, 1)]
         return d, db
 
-    def start(dmas):
-        for d in dmas:
-            d.start()
-
-    def wait(dmas):
-        for d in dmas:
-            d.wait()
-
     def rot_chunk(dst, src, partner, h):
         """dst <- cos(B) src + sin(B) roll_xc(perm(partner)) per plane."""
         B = ang * ctx.field("re", h, C)
@@ -401,11 +409,11 @@ def _rot_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
     @pl.when(nout > 0)
     def _():
         dA, dB = in_dmas(0)
-        start(dA)
+        _start(dA)
 
         @pl.when(xh > 0)
         def _():
-            start(dB)
+            _start(dB)
 
     def outer(i, _):
         slot = i & 1
@@ -414,39 +422,39 @@ def _rot_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
         @pl.when(i + 1 < nout)
         def _():
             dA, dB = in_dmas(i + 1)
-            start(dA)
+            _start(dA)
 
             @pl.when(xh > 0)
             def _():
-                start(dB)
+                _start(dB)
 
         dA, dB = in_dmas(i)
-        wait(dA)
+        _wait(dA)
 
         # the slot's previous write-back must land before staging is reused
         @pl.when(i >= 2)
         def _():
             oA, oB = out_dmas(i - 2)
-            wait(oA)
+            _wait(oA)
 
             @pl.when(xh > 0)
             def _():
-                wait(oB)
+                _wait(oB)
 
         @pl.when(xh > 0)
         def _():
-            wait(dB)
+            _wait(dB)
             rot_chunk(outA.at[slot], bufA.at[slot], bufB.at[slot], h)
             rot_chunk(outB.at[slot], bufB.at[slot], bufA.at[slot], h ^ xh)
             oA, oB = out_dmas(i)
-            start(oA)
-            start(oB)
+            _start(oA)
+            _start(oB)
 
         @pl.when(xh == 0)
         def _():
             rot_chunk(outA.at[slot], bufA.at[slot], bufA.at[slot], h)
             oA, _unused = out_dmas(i)
-            start(oA)
+            _start(oA)
 
         return 0
 
@@ -454,11 +462,11 @@ def _rot_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
     def drain(i, _):
         oA, oB = out_dmas(i)
-        wait(oA)
+        _wait(oA)
 
         @pl.when(xh > 0)
         def _():
-            wait(oB)
+            _wait(oB)
 
         return 0
 
@@ -467,14 +475,15 @@ def _rot_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
 def apply_grouped_ops_stream(psi, theta, x_huge, mb, n_outer, x_chunk, x_mid,
                              x_lane, op, z_r, z_c, cre,
-                             interpret: Optional[bool] = None):
+                             interpret: Optional[bool] = None,
+                             chunk_bits: int = CHUNK_BITS):
     """Whole-ansatz rotation sweep, state streamed from HBM; psi (2, 2^n)
     f32 -> (2, 2^n) f32 (updated in place via aliasing)."""
     interpret = _resolve_interpret(interpret)
     G, K = z_c.shape[0], z_c.shape[-1]
     N = psi.shape[-1]
     T = N >> TILE_BITS
-    C = 1 << CHUNK_BITS
+    C = 1 << chunk_bits
     psi4 = jnp.asarray(psi, jnp.float32).reshape(2, T, SUB, LANE)
     angles = -jnp.asarray(theta, jnp.float32)[jnp.asarray(op)]
 
@@ -545,14 +554,6 @@ def _expect_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
               for p in (0, 1)]
         return d, db
 
-    def start(dmas):
-        for d in dmas:
-            d.start()
-
-    def wait(dmas):
-        for d in dmas:
-            d.wait()
-
     def contrib(src, partner, h):
         """Ordered contribution of all C tiles of chunk ``src``:
         Wre . Re[conj(psi) psi_x] - Wim . Im[conj(psi) psi_x]."""
@@ -566,11 +567,11 @@ def _expect_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
     @pl.when(nout > 0)
     def _():
         dA, dB = in_dmas(0)
-        start(dA)
+        _start(dA)
 
         @pl.when(xh > 0)
         def _():
-            start(dB)
+            _start(dB)
 
     def outer(i, _):
         slot = i & 1
@@ -579,18 +580,18 @@ def _expect_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
         @pl.when(i + 1 < nout)
         def _():
             dA, dB = in_dmas(i + 1)
-            start(dA)
+            _start(dA)
 
             @pl.when(xh > 0)
             def _():
-                start(dB)
+                _start(dB)
 
         dA, dB = in_dmas(i)
-        wait(dA)
+        _wait(dA)
 
         @pl.when(xh > 0)
         def _():
-            wait(dB)
+            _wait(dB)
             eacc[0, 0] += (contrib(bufA.at[slot], bufB.at[slot], h)
                            + contrib(bufB.at[slot], bufA.at[slot], h ^ xh))
 
@@ -605,14 +606,15 @@ def _expect_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
 
 def expectation_stream(psi, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
-                       z_r, z_c, cre, cim, interpret: Optional[bool] = None):
+                       z_r, z_c, cre, cim, interpret: Optional[bool] = None,
+                       chunk_bits: int = CHUNK_BITS):
     """Off-diagonal grouped <psi|H|psi> contribution, state streamed from
     HBM (diagonal + constant are cheap single XLA passes)."""
     interpret = _resolve_interpret(interpret)
     G, K = z_c.shape[0], z_c.shape[-1]
     N = psi.shape[-1]
     T = N >> TILE_BITS
-    C = 1 << CHUNK_BITS
+    C = 1 << chunk_bits
     psi4 = jnp.asarray(psi, jnp.float32).reshape(2, T, SUB, LANE)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -695,14 +697,6 @@ def _ham_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
                                     sout.at[slot, 2 + p]) for p in (0, 1)]
         return d, db
 
-    def start(dmas):
-        for d in dmas:
-            d.start()
-
-    def wait(dmas):
-        for d in dmas:
-            d.wait()
-
     def add(dst, partner, h):
         """dst += W(h-chunk tiles) (.) roll_xc(perm(partner)) (complex)."""
         pb0 = ctx.perm(partner[0])
@@ -715,11 +709,11 @@ def _ham_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
     @pl.when(nout > 0)
     def _():
         dA, dB = in_dmas(0)
-        start(dA)
+        _start(dA)
 
         @pl.when(xh > 0)
         def _():
-            start(dB)
+            _start(dB)
 
     def outer(i, _):
         slot = i & 1
@@ -732,36 +726,36 @@ def _ham_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
             @pl.when(i >= 1)
             def _():
                 oA, oB = out_dmas(i - 1)
-                wait(oA)
+                _wait(oA)
 
                 @pl.when(xh > 0)
                 def _():
-                    wait(oB)
+                    _wait(oB)
 
             dA, dB = in_dmas(i + 1)
-            start(dA)
+            _start(dA)
 
             @pl.when(xh > 0)
             def _():
-                start(dB)
+                _start(dB)
 
         dA, dB = in_dmas(i)
-        wait(dA)
+        _wait(dA)
 
         @pl.when(xh > 0)
         def _():
-            wait(dB)
+            _wait(dB)
             add(accA.at[slot], bufB.at[slot], h)
             add(accB.at[slot], bufA.at[slot], h ^ xh)
             oA, oB = out_dmas(i)
-            start(oA)
-            start(oB)
+            _start(oA)
+            _start(oB)
 
         @pl.when(xh == 0)
         def _():
             add(accA.at[slot], bufA.at[slot], h)
             oA, _unused = out_dmas(i)
-            start(oA)
+            _start(oA)
 
         return 0
 
@@ -769,11 +763,11 @@ def _ham_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
     def drain(i, _):
         oA, oB = out_dmas(i)
-        wait(oA)
+        _wait(oA)
 
         @pl.when(xh > 0)
         def _():
-            wait(oB)
+            _wait(oB)
 
         return 0
 
@@ -781,14 +775,15 @@ def _ham_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
 
 def ham_apply_stream(psi, acc, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
-                     z_r, z_c, cre, cim, interpret: Optional[bool] = None):
+                     z_r, z_c, cre, cim, interpret: Optional[bool] = None,
+                     chunk_bits: int = CHUNK_BITS):
     """acc += (off-diagonal grouped H)|psi>, both streamed from HBM; acc is
     updated in place (pass the diagonal+const part, get the full H|psi>)."""
     interpret = _resolve_interpret(interpret)
     G, K = z_c.shape[0], z_c.shape[-1]
     N = psi.shape[-1]
     T = N >> TILE_BITS
-    C = 1 << CHUNK_BITS
+    C = 1 << chunk_bits
     psi4 = jnp.asarray(psi, jnp.float32).reshape(2, T, SUB, LANE)
     acc4 = jnp.asarray(acc, jnp.float32).reshape(2, T, SUB, LANE)
 
@@ -868,14 +863,6 @@ def _pool_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
                  for p in (0, 1)])
         return d, db
 
-    def start(dmas):
-        for d in dmas:
-            d.start()
-
-    def wait(dmas):
-        for d in dmas:
-            d.wait()
-
     def contrib(sig, partner, h):
         """sum_j conj(sigma_j) (W(j) psi_{j^x})_j over chunk tiles."""
         px0 = ctx.perm(partner[0])
@@ -891,11 +878,11 @@ def _pool_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
     @pl.when(nout > 0)
     def _():
         dA, dB = in_dmas(0)
-        start(dA)
+        _start(dA)
 
         @pl.when(xh > 0)
         def _():
-            start(dB)
+            _start(dB)
 
     def outer(i, _):
         slot = i & 1
@@ -904,18 +891,18 @@ def _pool_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
         @pl.when(i + 1 < nout)
         def _():
             dA, dB = in_dmas(i + 1)
-            start(dA)
+            _start(dA)
 
             @pl.when(xh > 0)
             def _():
-                start(dB)
+                _start(dB)
 
         dA, dB = in_dmas(i)
-        wait(dA)
+        _wait(dA)
 
         @pl.when(xh > 0)
         def _():
-            wait(dB)
+            _wait(dB)
             rA, iA = contrib(sigA.at[slot], bufB.at[slot], h)
             rB, iB = contrib(sigB.at[slot], bufA.at[slot], h ^ xh)
             racc[0, 0] += rA + rB
@@ -942,17 +929,9 @@ def pool_overlap_stream(sigma, psi, x_huge, mb, n_outer, x_chunk, x_mid,
     HBM.  Returns a (G, 2) array; callers segment-sum rows into operators."""
     interpret = _resolve_interpret(interpret)
     G0 = z_c.shape[0]
-    pad = (8 - G0 % 8) % 8
-    if pad:
-        def p8(a):
-            return jnp.pad(jnp.asarray(a),
-                           [(0, pad)] + [(0, 0)] * (np.ndim(a) - 1))
-
-        x_huge, mb, x_chunk = p8(x_huge), p8(mb), p8(x_chunk)
-        x_mid, x_lane = p8(x_mid), p8(x_lane)
-        z_r, z_c, cre, cim = p8(z_r), p8(z_c), p8(cre), p8(cim)
-        n_outer = jnp.concatenate([jnp.asarray(n_outer),
-                                   jnp.zeros(pad, jnp.int32)])
+    (x_huge, mb, n_outer, x_chunk, x_mid, x_lane, z_r, z_c, cre,
+     cim) = _pad_group8([x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
+                         z_r, z_c, cre, cim])
     G, K = z_c.shape[0], z_c.shape[-1]
     N = psi.shape[-1]
     T = N >> TILE_BITS
@@ -1008,7 +987,7 @@ def build_streaming_pool_gradient_fn(gpool, lham, seg: Optional[int] = None):
     watchdog.  Mirrors grouped.build_grouped_pool_gradient_fn."""
     n = gpool.n
     if seg is None:
-        seg = stream_segment_groups(n)
+        seg = max(8, stream_segment_groups(n) // 2)   # 2 streamed states
     sd = build_stream_data(n, gpool.x, gpool.z, gpool.a_re, op=gpool.op,
                            coef_im=gpool.a_im)
     hargs = (sd.x_huge, sd.mb, sd.n_outer, sd.x_chunk, sd.x_mid, sd.x_lane,
@@ -1028,7 +1007,7 @@ def build_streaming_pool_gradient_fn(gpool, lham, seg: Optional[int] = None):
         return (vre.at[op].add(rows[:, 0]), vim.at[op].add(rows[:, 1]))
 
     def grads_host(psi) -> np.ndarray:
-        psi = jnp.asarray(np.asarray(psi, np.float32))
+        psi = jnp.asarray(psi, jnp.float32)   # on-device dtype coercion
         sig = lham(psi)
         vre = jnp.zeros(n_ops, jnp.float32)
         vim = jnp.zeros(n_ops, jnp.float32)
@@ -1093,14 +1072,6 @@ def _adj_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
                                        sout.at[slot, 6 + p]) for p in (0, 1)])
         return d, db
 
-    def start(dmas):
-        for d in dmas:
-            d.start()
-
-    def wait(dmas):
-        for d in dmas:
-            d.wait()
-
     def unrot(dstP, dstL, srcP, srcL, pP, pL, h):
         """Un-rotate chunk (srcP, srcL) given partner chunks (pP, pL) and
         accumulate the gradient contribution of its tiles."""
@@ -1119,11 +1090,11 @@ def _adj_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
     @pl.when(nout > 0)
     def _():
         dA, dB = in_dmas(0)
-        start(dA)
+        _start(dA)
 
         @pl.when(xh > 0)
         def _():
-            start(dB)
+            _start(dB)
 
     def outer(i, _):
         slot = i & 1
@@ -1132,29 +1103,29 @@ def _adj_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
         @pl.when(i + 1 < nout)
         def _():
             dA, dB = in_dmas(i + 1)
-            start(dA)
+            _start(dA)
 
             @pl.when(xh > 0)
             def _():
-                start(dB)
+                _start(dB)
 
         dA, dB = in_dmas(i)
-        wait(dA)
+        _wait(dA)
 
         # the slot's previous write-back must land before its staging
         # buffers are overwritten
         @pl.when(i >= 2)
         def _():
             oA, oB = out_dmas(i - 2)
-            wait(oA)
+            _wait(oA)
 
             @pl.when(xh > 0)
             def _():
-                wait(oB)
+                _wait(oB)
 
         @pl.when(xh > 0)
         def _():
-            wait(dB)
+            _wait(dB)
             gA = unrot(outPA.at[slot], outLA.at[slot],
                        bufPA.at[slot], bufLA.at[slot],
                        bufPB.at[slot], bufLB.at[slot], h)
@@ -1163,8 +1134,8 @@ def _adj_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
                        bufPA.at[slot], bufLA.at[slot], h ^ xh)
             gacc[0, 0] += gA + gB
             oA, oB = out_dmas(i)
-            start(oA)
-            start(oB)
+            _start(oA)
+            _start(oB)
 
         @pl.when(xh == 0)
         def _():
@@ -1173,7 +1144,7 @@ def _adj_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
                        bufPA.at[slot], bufLA.at[slot], h)
             gacc[0, 0] += gA
             oA, _unused = out_dmas(i)
-            start(oA)
+            _start(oA)
 
         return 0
 
@@ -1181,11 +1152,11 @@ def _adj_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
     def drain(i, _):
         oA, oB = out_dmas(i)
-        wait(oA)
+        _wait(oA)
 
         @pl.when(xh > 0)
         def _():
-            wait(oB)
+            _wait(oB)
 
         return 0
 
@@ -1197,29 +1168,21 @@ def _adj_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
 def adjoint_sweep_stream(p, lam, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
                          angles, z_r, z_c, cre,
-                         interpret: Optional[bool] = None):
+                         interpret: Optional[bool] = None,
+                         chunk_bits: int = ADJ_CHUNK_BITS):
     """Reversible adjoint over grouped rotations, both states streamed from
     HBM; operands must be passed in REVERSED group order.  Returns
     (p_prev, lam_prev, per-group gradient entries); angles = -theta[op] per
     (reversed) group."""
     interpret = _resolve_interpret(interpret)
     G0 = z_c.shape[0]
-    pad = (8 - G0 % 8) % 8
-    if pad:
-        def p8(a):
-            return jnp.pad(jnp.asarray(a),
-                           [(0, pad)] + [(0, 0)] * (np.ndim(a) - 1))
-
-        x_huge, mb, x_chunk = p8(x_huge), p8(mb), p8(x_chunk)
-        x_mid, x_lane = p8(x_mid), p8(x_lane)
-        angles, z_r, z_c, cre = p8(angles), p8(z_r), p8(z_c), p8(cre)
-        # padded groups are inert: n_outer = 0 (no DMA, no writes)
-        n_outer = jnp.concatenate([jnp.asarray(n_outer),
-                                   jnp.zeros(pad, jnp.int32)])
+    (x_huge, mb, n_outer, x_chunk, x_mid, x_lane, angles, z_r, z_c,
+     cre) = _pad_group8([x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
+                         angles, z_r, z_c, cre])
     G, K = z_c.shape[0], z_c.shape[-1]
     N = p.shape[-1]
     T = N >> TILE_BITS
-    C = 1 << ADJ_CHUNK_BITS    # operands must be built with ADJ_CHUNK_BITS
+    C = 1 << chunk_bits       # must match the operands' geometry
     p4 = jnp.asarray(p, jnp.float32).reshape(2, T, SUB, LANE)
     l4 = jnp.asarray(lam, jnp.float32).reshape(2, T, SUB, LANE)
 
@@ -1334,9 +1297,13 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
     zd, adr, adi = gham.z_diag, gham.a_diag_re, gham.a_diag_im
     c_re = np.asarray(gham.c_re, rd)
 
+    # the budget is calibrated to the 1-state rotation kernel; the H-apply
+    # streams psi + acc (read/write) and the adjoint streams p and l both
+    # ways — halve their segments so every device call sees the same bound
+    seg2 = max(8, seg // 2)
     hd = stream_ham_data(gham)
     h_segments = ([tuple(jnp.asarray(a) for a in s)
-                   for s in _segments(ham_stream_args(hd), seg)]
+                   for s in _segments(ham_stream_args(hd), seg2)]
                   if hd.G else [])
 
     @jax.jit
@@ -1401,7 +1368,7 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
                for s in _segments(fwd_args, seg)]
         rev = [tuple(jnp.asarray(np.ascontiguousarray(np.asarray(a)[::-1]))
                      for a in s)
-               for s in reversed(_segments(adj_args, seg))]
+               for s in reversed(_segments(adj_args, seg2))]
         return fwd, rev
 
     @jax.jit

@@ -164,6 +164,44 @@ def test_objective_streaming_end_to_end(monkeypatch):
     assert abs(st_obj.expectation(psi) - ref_obj.expectation(psi)) < 1e-5
 
 
+def test_deep_pipeline_parity(data):
+    """chunk_bits=1 at N=18 gives 8 chunks -> up to 8 outer iterations per
+    group, executing the double-buffer wait paths (i >= 2 out-DMA waits,
+    write-back-before-staging-reload) that the default geometry (2 chunks)
+    leaves statically dead in CI."""
+    x, z, coef, op, theta, psi = data
+    ref = gr.apply_grouped_ops(jnp.asarray(psi), jnp.asarray(theta),
+                               jnp.asarray(x), jnp.asarray(z),
+                               jnp.asarray(coef), jnp.asarray(op))
+    sd = st.build_stream_data(N, x, z, coef, op=op, chunk_bits=1)
+    out = st.apply_grouped_ops_stream(psi, theta, *st.seq_stream_args(sd),
+                                      interpret=True, chunk_bits=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-6)
+
+    rng = np.random.default_rng(12)
+    cim = rng.normal(size=coef.shape).astype(np.float32) * 0.1
+
+    def step(a, g):
+        xg, zg, ar, ai = g
+        px = gr.xor_perm(jnp.asarray(psi), xg)
+        w_re = gr._sign_field(zg, ar, N).reshape(-1)
+        w_im = gr._sign_field(zg, ai, N).reshape(-1)
+        a = a + jnp.stack([w_re * px[0] - w_im * px[1],
+                           w_re * px[1] + w_im * px[0]])
+        return a, None
+
+    refh, _ = jax.lax.scan(step, jnp.zeros_like(jnp.asarray(psi)),
+                           (jnp.asarray(x), jnp.asarray(z),
+                            jnp.asarray(coef), jnp.asarray(cim)))
+    sdh = st.build_stream_data(N, x, z, coef, coef_im=cim, chunk_bits=1)
+    outh = st.ham_apply_stream(psi, np.zeros_like(psi),
+                               *st.ham_stream_args(sdh), interpret=True,
+                               chunk_bits=1)
+    np.testing.assert_allclose(np.asarray(outh), np.asarray(refh),
+                               rtol=0, atol=1e-5)
+
+
 def test_pool_overlap_parity(data):
     """Streaming ADAPT screen == the XLA grouped pool-gradient overlaps."""
     x, z, coef, op, theta, psi = data
