@@ -827,6 +827,282 @@ def ham_apply_stream(psi, acc, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
     return out.reshape(2, N)
 
 
+# ------------------------------------------------ bucketed H |psi> kernel
+#
+# H terms are order-free, so groups sharing the same x_huge (the HBM
+# chunk-pairing pattern) can share ONE pass over the state: psi and acc
+# chunks are DMA'd once per BUCKET and every group in the bucket applies
+# its own in-tile permutation and weight field to the resident chunks.
+# At 24 qubits this removes ~90% of the H pass's DMA traffic (2766 groups
+# collapse to ~200 bucket passes).
+
+HAM_BUCKET_CAP = 16       # groups per bucket (padded; inert groups skipped)
+
+
+def build_ham_buckets(gham, gcap: int = HAM_BUCKET_CAP,
+                      chunk_bits: int = CHUNK_BITS):
+    """Bucket the off-diagonal Hamiltonian groups by x_huge.  Returns
+    (prefetch..., streamed...) arrays with a bucket axis: scalars
+    (B,)/(B, gcap) and blocks (B, gcap, K, 1)/(B, gcap, 1, K)."""
+    sd = stream_ham_data(gham)
+    if sd.G == 0:
+        return None
+    order = np.argsort(sd.x_huge, kind="stable")
+    buckets = []
+    i = 0
+    while i < len(order):
+        xh = sd.x_huge[order[i]]
+        j = i
+        while j < len(order) and sd.x_huge[order[j]] == xh \
+                and j - i < gcap:
+            j += 1
+        buckets.append(order[i:j])
+        i = j
+    B = len(buckets)
+    K = sd.z_r.shape[1]
+    bxh = np.zeros(B, np.int32)
+    bmb = np.zeros(B, np.int32)
+    bnout = np.zeros(B, np.int32)
+    bxc = np.zeros((B, gcap), np.int32)
+    bxm = np.zeros((B, gcap), np.int32)
+    bxl = np.zeros((B, gcap), np.int32)
+    bact = np.zeros((B, gcap), np.int32)
+    bzr = np.zeros((B, gcap, K, 1), np.int32)
+    bzc = np.zeros((B, gcap, 1, K), np.int32)
+    bcre = np.zeros((B, gcap, K, 1), np.float32)
+    bcim = np.zeros((B, gcap, K, 1), np.float32)
+    cim = sd.cim if sd.cim is not None else np.zeros_like(sd.cre)
+    for b, idx in enumerate(buckets):
+        g0 = idx[0]
+        bxh[b] = sd.x_huge[g0]
+        bmb[b] = sd.mb[g0]
+        bnout[b] = sd.n_outer[g0]
+        m = len(idx)
+        bxc[b, :m] = sd.x_chunk[idx]
+        bxm[b, :m] = sd.x_mid[idx]
+        bxl[b, :m] = sd.x_lane[idx]
+        bact[b, :m] = 1
+        bzr[b, :m] = sd.z_r[idx]
+        bzc[b, :m] = sd.z_c[idx]
+        bcre[b, :m] = sd.cre[idx]
+        bcim[b, :m] = cim[idx]
+    return (bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr, bzc, bcre, bcim)
+
+
+def _ham_bucket_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
+                       act_ref, zr_ref, zc_ref, cre_ref, cim_ref, psi_ref,
+                       acc_in_ref, acc_ref, bufA, bufB, accA, accB, sin,
+                       sout):
+    b = pl.program_id(0)
+    xh = xh_ref[b]
+    mb = mb_ref[b]
+    nout = nout_ref[b]
+    C = bufA.shape[2]
+    Gcap = act_ref.shape[1]
+
+    def in_dmas(i):
+        slot = i & 1
+        h = _pair_index(i, xh, mb)
+        hh = h ^ xh
+        d = ([pltpu.make_async_copy(psi_ref.at[p, pl.ds(h * C, C)],
+                                    bufA.at[slot, p], sin.at[slot, p])
+              for p in (0, 1)]
+             + [pltpu.make_async_copy(acc_ref.at[p, pl.ds(h * C, C)],
+                                      accA.at[slot, p], sin.at[slot, 2 + p])
+                for p in (0, 1)])
+        db = ([pltpu.make_async_copy(psi_ref.at[p, pl.ds(hh * C, C)],
+                                     bufB.at[slot, p], sin.at[slot, 4 + p])
+               for p in (0, 1)]
+              + [pltpu.make_async_copy(acc_ref.at[p, pl.ds(hh * C, C)],
+                                       accB.at[slot, p], sin.at[slot, 6 + p])
+                 for p in (0, 1)])
+        return d, db
+
+    def out_dmas(i):
+        slot = i & 1
+        h = _pair_index(i, xh, mb)
+        hh = h ^ xh
+        d = [pltpu.make_async_copy(accA.at[slot, p],
+                                   acc_ref.at[p, pl.ds(h * C, C)],
+                                   sout.at[slot, p]) for p in (0, 1)]
+        db = [pltpu.make_async_copy(accB.at[slot, p],
+                                    acc_ref.at[p, pl.ds(hh * C, C)],
+                                    sout.at[slot, 2 + p]) for p in (0, 1)]
+        return d, db
+
+    def add_group(dst, partner, ctx, h):
+        pb0 = ctx.perm(partner[0])
+        pb1 = ctx.perm(partner[1])
+        Wre = ctx.field("re", h, C)
+        Wim = ctx.field("im", h, C)
+        dst[0] += Wre * pb0 - Wim * pb1
+        dst[1] += Wre * pb1 + Wim * pb0
+
+    @pl.when(nout > 0)
+    def _():
+        dA, dB = in_dmas(0)
+        _start(dA)
+
+        @pl.when(xh > 0)
+        def _():
+            _start(dB)
+
+    def outer(i, _):
+        slot = i & 1
+        h = _pair_index(i, xh, mb)
+
+        @pl.when(i + 1 < nout)
+        def _():
+            @pl.when(i >= 1)
+            def _():
+                oA, oB = out_dmas(i - 1)
+                _wait(oA)
+
+                @pl.when(xh > 0)
+                def _():
+                    _wait(oB)
+
+            dA, dB = in_dmas(i + 1)
+            _start(dA)
+
+            @pl.when(xh > 0)
+            def _():
+                _start(dB)
+
+        dA, dB = in_dmas(i)
+        _wait(dA)
+
+        @pl.when(xh > 0)
+        def _():
+            _wait(dB)
+
+        def group_body(g2, _):
+            @pl.when(act_ref[b, g2] != 0)
+            def _():
+                ctx = _GroupCtx(xm_ref[b, g2], xl_ref[b, g2], xc_ref[b, g2],
+                                zr_ref[0, g2], zc_ref[0, g2], cre_ref[0, g2],
+                                cim_ref[0, g2])
+
+                @pl.when(xh > 0)
+                def _():
+                    add_group(accA.at[slot], bufB.at[slot], ctx, h)
+                    add_group(accB.at[slot], bufA.at[slot], ctx, h ^ xh)
+
+                @pl.when(xh == 0)
+                def _():
+                    add_group(accA.at[slot], bufA.at[slot], ctx, h)
+
+            return 0
+
+        jax.lax.fori_loop(0, Gcap, group_body, 0)
+
+        oA, oB = out_dmas(i)
+        _start(oA)
+
+        @pl.when(xh > 0)
+        def _():
+            _start(oB)
+
+        return 0
+
+    jax.lax.fori_loop(0, nout, outer, 0)
+
+    def drain(i, _):
+        oA, oB = out_dmas(i)
+        _wait(oA)
+
+        @pl.when(xh > 0)
+        def _():
+            _wait(oB)
+
+        return 0
+
+    jax.lax.fori_loop(jnp.maximum(nout - 2, 0), nout, drain, 0)
+
+
+def ham_apply_bucketed(psi, acc, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
+                       bzc, bcre, bcim, interpret: Optional[bool] = None,
+                       chunk_bits: int = CHUNK_BITS):
+    """acc += (off-diagonal grouped H)|psi> with groups BUCKETED by x_huge:
+    one state pass per bucket instead of per group."""
+    interpret = _resolve_interpret(interpret)
+    B, Gcap, K = bzc.shape[0], bzc.shape[1], bzc.shape[-1]
+    N = psi.shape[-1]
+    T = N >> TILE_BITS
+    C = 1 << chunk_bits
+    psi4 = jnp.asarray(psi, jnp.float32).reshape(2, T, SUB, LANE)
+    acc4 = jnp.asarray(acc, jnp.float32).reshape(2, T, SUB, LANE)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Gcap, K, 1), lambda b, *r: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gcap, 1, K), lambda b, *r: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gcap, K, 1), lambda b, *r: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gcap, K, 1), lambda b, *r: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),        # psi
+            pl.BlockSpec(memory_space=pl.ANY),        # acc (aliased)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),
+            pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),
+            pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),
+            pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 8)),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+    out = pl.pallas_call(
+        _ham_bucket_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(acc4.shape, jnp.float32),
+        input_output_aliases={12: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(jnp.asarray(bxh), jnp.asarray(bmb), jnp.asarray(bnout),
+      jnp.asarray(bxc), jnp.asarray(bxm), jnp.asarray(bxl),
+      jnp.asarray(bact), jnp.asarray(bzr), jnp.asarray(bzc),
+      jnp.asarray(bcre), jnp.asarray(bcim), psi4, acc4)
+    return out.reshape(2, N)
+
+
+def _bucket_segments(bargs, seg_groups: int):
+    """Split bucket arrays into segments of ~seg_groups ACTIVE groups per
+    device call (fixed shapes per segment for executable reuse)."""
+    bact = bargs[6]
+    B = len(bact)
+    per_bucket = np.sum(bact, axis=1)
+    segs = []
+    start = 0
+    acc = 0
+    for b in range(B):
+        acc += int(per_bucket[b])
+        if acc >= seg_groups and b + 1 > start:
+            segs.append((start, b + 1))
+            start = b + 1
+            acc = 0
+    if start < B:
+        segs.append((start, B))
+    if not segs:
+        return []
+    b_pad = max(hi - lo for lo, hi in segs)
+
+    def pad(a, lo, hi):
+        out = np.zeros((b_pad,) + a.shape[1:], a.dtype)
+        out[: hi - lo] = a[lo:hi]
+        return out
+
+    return [tuple(jnp.asarray(pad(a, lo, hi)) for a in bargs)
+            for lo, hi in segs]
+
+
 # ----------------------------------------------------- pool overlap screen
 
 def _pool_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
@@ -1305,6 +1581,11 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
     h_segments = ([tuple(jnp.asarray(a) for a in s)
                    for s in _segments(ham_stream_args(hd), seg2)]
                   if hd.G else [])
+    # H|psi> runs BUCKETED by x_huge: one state pass per bucket instead of
+    # per group (order-free sum; ~90% less DMA traffic at 24+ qubits)
+    bargs = build_ham_buckets(gham) if hd.G else None
+    hb_segments = (_bucket_segments(bargs, seg2) if bargs is not None
+                   else [])
 
     @jax.jit
     def _diag_expect(psi):
@@ -1386,10 +1667,16 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
             psi = _rot_seg(psi, theta, *s)
         return psi
 
+    @partial(jax.jit, donate_argnums=(1,))
+    def _hamb_seg(psi, acc, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
+                  bzc, bcre, bcim):
+        return ham_apply_bucketed(psi, acc, bxh, bmb, bnout, bxc, bxm,
+                                  bxl, bact, bzr, bzc, bcre, bcim)
+
     def _lham(psi, include_const: bool = True):
         acc = _diag_ham(psi, include_const=include_const)
-        for s in h_segments:
-            acc = _ham_seg(psi, acc, *s)
+        for s in hb_segments:
+            acc = _hamb_seg(psi, acc, *s)
         return acc
 
     def _expectation(psi):
