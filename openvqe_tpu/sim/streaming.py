@@ -1680,6 +1680,12 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
         return acc
 
     def _expectation(psi):
+        # e = Re<psi|lam0> + const <psi|psi> through the BUCKETED H apply —
+        # one state pass per x_huge bucket vs one per group on the
+        # per-group expectation kernel (kept for parity tests / fallback)
+        if hb_segments:
+            lam0 = _lham(psi, include_const=False)
+            return float(_dot_energy(psi, lam0))
         acc = _diag_expect(psi)
         for s in h_segments:
             acc = acc + _exp_seg(psi, *s)
