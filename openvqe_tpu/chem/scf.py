@@ -24,6 +24,37 @@ class RHFResult:
     n_iter: int
 
 
+def _orthogonalizer(S: np.ndarray) -> np.ndarray:
+    """Symmetric orthogonalization with linear-dependence truncation."""
+    s_eval, s_evec = eigh(S)
+    if np.min(s_eval) < 1e-10:
+        keep = s_eval > 1e-10
+        s_eval, s_evec = s_eval[keep], s_evec[:, keep]
+    return s_evec @ np.diag(s_eval ** -0.5) @ s_evec.T
+
+
+def _diis_extrapolate(errs: List[np.ndarray], focks: List[np.ndarray],
+                      fallback: np.ndarray) -> np.ndarray:
+    """Pulay DIIS: solve the B-matrix system over the stored error/Fock
+    history; returns ``fallback`` when the history is too short or the
+    system is singular."""
+    if len(errs) < 2:
+        return fallback
+    m = len(errs)
+    B = -np.ones((m + 1, m + 1))
+    B[m, m] = 0.0
+    for i in range(m):
+        for j in range(m):
+            B[i, j] = np.vdot(errs[i], errs[j])
+    rhs = np.zeros(m + 1)
+    rhs[m] = -1.0
+    try:
+        w = np.linalg.solve(B, rhs)[:m]
+        return sum(wi * Fi for wi, Fi in zip(w, focks))
+    except np.linalg.LinAlgError:
+        return fallback
+
+
 def rhf(S: np.ndarray, hcore: np.ndarray, eri: np.ndarray, n_elec: int,
         e_nuc: float, max_iter: int = 200, conv: float = 1e-11,
         diis_size: int = 8) -> RHFResult:
@@ -31,13 +62,7 @@ def rhf(S: np.ndarray, hcore: np.ndarray, eri: np.ndarray, n_elec: int,
         raise ValueError("RHF requires an even electron count "
                          "(all reference molecules are closed-shell)")
     n_occ = n_elec // 2
-
-    # symmetric orthogonalization
-    s_eval, s_evec = eigh(S)
-    if np.min(s_eval) < 1e-10:
-        keep = s_eval > 1e-10
-        s_eval, s_evec = s_eval[keep], s_evec[:, keep]
-    X = s_evec @ np.diag(s_eval ** -0.5) @ s_evec.T
+    X = _orthogonalizer(S)
 
     def fock(dm):
         J = np.einsum("pqrs,rs->pq", eri, dm, optimize=True)
@@ -63,20 +88,7 @@ def rhf(S: np.ndarray, hcore: np.ndarray, eri: np.ndarray, n_elec: int,
         if len(errs) > diis_size:
             errs.pop(0)
             focks.pop(0)
-        if len(errs) > 1:
-            m = len(errs)
-            B = -np.ones((m + 1, m + 1))
-            B[m, m] = 0.0
-            for i in range(m):
-                for j in range(m):
-                    B[i, j] = np.vdot(errs[i], errs[j])
-            rhs = np.zeros(m + 1)
-            rhs[m] = -1.0
-            try:
-                w = np.linalg.solve(B, rhs)[:m]
-                F = sum(wi * Fi for wi, Fi in zip(w, focks))
-            except np.linalg.LinAlgError:
-                pass
+        F = _diis_extrapolate(errs, focks, F)
         e_mo, C_ortho = eigh(X.T @ F @ X)
         C = X @ C_ortho
         dm = 2.0 * C[:, :n_occ] @ C[:, :n_occ].T
@@ -125,16 +137,13 @@ def rohf(S: np.ndarray, hcore: np.ndarray, eri: np.ndarray, n_elec: int,
         return ROHFResult(r.energy, r.mo_coeff, r.mo_energy, r.n_occ,
                           r.n_occ, r.converged, r.n_iter)
 
-    s_eval, s_evec = eigh(S)
-    if np.min(s_eval) < 1e-10:
-        keep = s_eval > 1e-10
-        s_eval, s_evec = s_eval[keep], s_evec[:, keep]
-    X = s_evec @ np.diag(s_eval ** -0.5) @ s_evec.T
+    X = _orthogonalizer(S)
 
-    def jk(dm):
-        J = np.einsum("pqrs,rs->pq", eri, dm, optimize=True)
-        K = np.einsum("prqs,rs->pq", eri, dm, optimize=True)
-        return J, K
+    def coulomb(dm):
+        return np.einsum("pqrs,rs->pq", eri, dm, optimize=True)
+
+    def exchange(dm):
+        return np.einsum("prqs,rs->pq", eri, dm, optimize=True)
 
     e_mo, C_ortho = eigh(X.T @ hcore @ X)
     C = X @ C_ortho
@@ -148,9 +157,9 @@ def rohf(S: np.ndarray, hcore: np.ndarray, eri: np.ndarray, n_elec: int,
         Da = C[:, :na] @ C[:, :na].T
         Db = C[:, :nb] @ C[:, :nb].T
         D = Da + Db
-        J, _ = jk(D)
-        _, Ka = jk(Da)
-        _, Kb = jk(Db)
+        J = coulomb(D)                 # three O(n^4) contractions total
+        Ka = exchange(Da)
+        Kb = exchange(Db)
         Fa = hcore + J - Ka
         Fb = hcore + J - Kb
         e_elec = 0.5 * (np.einsum("pq,pq->", Da, hcore + Fa)
@@ -169,32 +178,22 @@ def rohf(S: np.ndarray, hcore: np.ndarray, eri: np.ndarray, n_elec: int,
         R[o, v] = FaM[o, v]
         R[v, o] = FaM[v, o]
 
-        # DIIS on the AO-projected effective Fock with the orbital-gradient
-        # error (the off-diagonal occupied-virtual coupling blocks)
+        # DIIS on the AO-projected effective Fock.  The orbital-gradient
+        # error (occupied-virtual coupling blocks) must live in a FIXED
+        # frame — the MO basis rotates every iteration, so MO-frame errors
+        # from different iterations are not commensurate; project the
+        # antisymmetrized gradient to the orthonormal AO frame.
         Sc = S @ C
         R_ao = Sc @ R @ Sc.T
         grad = np.zeros_like(R)
         grad[c, o], grad[c, v], grad[o, v] = R[c, o], R[c, v], R[o, v]
-        errs.append(grad)
+        err = X.T @ (Sc @ (grad - grad.T) @ Sc.T) @ X
+        errs.append(err)
         focks.append(R_ao)
         if len(errs) > diis_size:
             errs.pop(0)
             focks.pop(0)
-        R_use = R_ao
-        if len(errs) > 1:
-            m = len(errs)
-            B = -np.ones((m + 1, m + 1))
-            B[m, m] = 0.0
-            for i in range(m):
-                for j in range(m):
-                    B[i, j] = np.vdot(errs[i], errs[j])
-            rhs = np.zeros(m + 1)
-            rhs[m] = -1.0
-            try:
-                w = np.linalg.solve(B, rhs)[:m]
-                R_use = sum(wi * Fi for wi, Fi in zip(w, focks))
-            except np.linalg.LinAlgError:
-                pass
+        R_use = _diis_extrapolate(errs, focks, R_ao)
         e_mo, C_ortho = eigh(X.T @ R_use @ X)
         C = X @ C_ortho
         if (abs(e_elec - e_old) < conv

@@ -116,12 +116,15 @@ class MoleculeFactory:
         (ham, ham_sp, n_elec, noons_full, orb_energies_full, info
          ) = self.generate_hamiltonian(molecule_symbol, active=active,
                                        transform=transform, display=False)
+        _, _, _, spin, _ = self.get_parameters(molecule_symbol)
         return generators.uccsd(ham, n_elec, noons_full, orb_energies_full,
-                                transform)
+                                transform, n_alpha=(n_elec + spin) // 2)
 
-    def find_hf_init(self, hamiltonian, n_elec, noons_full, orb_energies_full) -> int:
+    def find_hf_init(self, hamiltonian, n_elec, noons_full,
+                     orb_energies_full, n_alpha=None) -> int:
         _, _, hf_init = get_cluster_ops_and_init_guess(
-            n_elec, noons_full, orb_energies_full, hamiltonian.hpqrs)
+            n_elec, noons_full, orb_energies_full, hamiltonian.hpqrs,
+            n_alpha=n_alpha)
         return hf_init
 
     def get_reference_ket(self, hf_init: int, nbqbits: int, transform: str):

@@ -57,10 +57,13 @@ def apply_transforms(cluster_ops_fr: Sequence[FermionOperator], transform: str,
     return len(cluster_ops_sp), cluster_ops, cluster_ops_sp
 
 
-def uccsd(hamiltonian, n_elec, noons_full, orb_energies_full, transform):
-    """UCCSD ops + MP2 guess + HF init (reference generator_excitations.py:40-80)."""
+def uccsd(hamiltonian, n_elec, noons_full, orb_energies_full, transform,
+          n_alpha=None):
+    """UCCSD ops + MP2 guess + HF init (reference generator_excitations.py:40-80).
+    Pass ``n_alpha`` for an open-shell (ROHF) reference determinant."""
     cluster_ops, theta_mp2, hf_init = get_cluster_ops_and_init_guess(
-        n_elec, noons_full, orb_energies_full, hamiltonian.hpqrs)
+        n_elec, noons_full, orb_energies_full, hamiltonian.hpqrs,
+        n_alpha=n_alpha)
     pool_size, cluster_ops, cluster_ops_sp = apply_transforms(cluster_ops, transform)
     return pool_size, cluster_ops, cluster_ops_sp, theta_mp2, hf_init
 

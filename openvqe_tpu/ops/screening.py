@@ -190,7 +190,8 @@ def generate_cluster_ops_with_mp2(molecule: str, mp2_thresh: float = 1e-8
                                         md.two_body_integrals)
     eps_full = [e for e in md.orbital_energies for _ in range(2)]
     cluster_ops, theta_0, hf_init = get_cluster_ops_and_init_guess(
-        md.n_elec, [0] * len(eps_full), eps_full, hpqrs)
+        md.n_elec, [0] * len(eps_full), eps_full, hpqrs,
+        n_alpha=md.info.get("n_alpha"))
     out = []
     for op, theta in zip(cluster_ops, theta_0):
         if theta < mp2_thresh:

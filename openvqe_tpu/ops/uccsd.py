@@ -24,8 +24,15 @@ def occupied_spin_orbitals(n_elec: int, n_alpha: int = None) -> List[int]:
     convention.  Closed shell: the lowest n_elec; open shell (n_alpha given):
     alpha orbitals 0..n_alpha-1 (even) and beta 0..n_beta-1 (odd)."""
     if n_alpha is None:
+        if n_elec % 2:
+            raise ValueError(
+                f"odd n_elec={n_elec} needs an explicit n_alpha (the "
+                "closed-shell default determinant would be in the wrong "
+                "spin sector)")
         return list(range(n_elec))
     n_beta = n_elec - n_alpha
+    if not 0 <= n_beta <= n_alpha:
+        raise ValueError(f"invalid (n_elec={n_elec}, n_alpha={n_alpha})")
     return sorted([2 * i for i in range(n_alpha)]
                   + [2 * i + 1 for i in range(n_beta)])
 
@@ -35,8 +42,8 @@ def uccsd_excitations(n_spin_orb: int, n_elec
     """Spin-conserving occupied->virtual singles (i, a) and doubles
     (i, j, a, b) with i<j, a<b.  ``n_elec`` may be an explicit occupied
     spin-orbital list (open-shell determinants)."""
-    occ = (list(n_elec) if not isinstance(n_elec, int)
-           else list(range(n_elec)))
+    occ = (list(range(n_elec)) if isinstance(n_elec, (int, np.integer))
+           else list(n_elec))
     virt = [p for p in range(n_spin_orb) if p not in set(occ)]
     singles = [(i, a) for i in occ for a in virt if i % 2 == a % 2]
     doubles = []
@@ -44,8 +51,7 @@ def uccsd_excitations(n_spin_orb: int, n_elec
         for j in occ[xi + 1:]:
             for xa, a in enumerate(virt):
                 for b in virt[xa + 1:]:
-                    if (i % 2 + j % 2) == (a % 2 + b % 2) and \
-                       sorted((i % 2, j % 2)) == sorted((a % 2, b % 2)):
+                    if sorted((i % 2, j % 2)) == sorted((a % 2, b % 2)):
                         doubles.append((i, j, a, b))
     return singles, doubles
 

@@ -91,6 +91,40 @@ def test_h3_open_shell_uccsd_vqe(h3):
     assert res.fun - h3.info["FCI"] < 1e-5
 
 
+def test_h4_triplet_sector():
+    """spin=2 (even electron count): the determinant and UCCSD pool must
+    live in the (3, 1) sector — previously the closed-shell default
+    silently produced an Sz=0 determinant."""
+    from openvqe_tpu.ops.uccsd import occupied_spin_orbitals
+
+    assert occupied_spin_orbitals(4, 3) == [0, 1, 2, 4]
+    with pytest.raises(ValueError):
+        occupied_spin_orbitals(3)            # odd without n_alpha
+    with pytest.raises(ValueError):
+        occupied_spin_orbitals(3, 5)         # inconsistent counts
+
+    md = compute_molecule([("H", (0, 0, 1.0 * k)) for k in range(4)],
+                          "sto-3g", spin=2)
+    assert md.info["n_alpha"] == 3 and md.info["n_beta"] == 1
+    hpq, hpqrs = convert_to_h_integrals(md.one_body_integrals,
+                                        md.two_body_integrals)
+    hsp = ElectronicStructureHamiltonian(
+        hpq, hpqrs, md.nuclear_repulsion).to_spin("JW")
+    eps = [e for e in md.orbital_energies for _ in range(2)]
+    ops, theta0, hf_init = get_cluster_ops_and_init_guess(
+        md.n_elec, [0] * hsp.nbqbits, eps, hpqrs,
+        n_alpha=md.info["n_alpha"])
+    gens = [transform_operator(op, "JW") * 1j for op in ops]
+    bound = VQEObjective(hsp).bind(gens, hf_init)
+    # the determinant energy must equal ROHF (triplet sector), and the
+    # spin-conserving VQE must reach the sector FCI
+    assert abs(bound.energy(np.zeros(len(gens))) - md.info["HF"]) < 1e-8
+    fun, jac = bound.scipy_fun_jac()
+    res = minimize(fun, np.zeros(len(gens)), jac=jac, method="BFGS",
+                   options={"maxiter": 300})
+    assert res.fun - md.info["FCI"] < 1e-5
+
+
 def test_li_atom_rohf():
     md = compute_molecule([("Li", (0, 0, 0.0))], "sto-3g", spin=1)
     assert md.info["converged"]
