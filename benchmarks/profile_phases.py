@@ -51,48 +51,36 @@ def main():
                       "seq_groups": int(len(bound._seq_args[0])),
                       "pallas": bound._pargs is not None}), flush=True)
 
+    import jax.numpy as jnp
+
+    def _force(out):
+        """block_until_ready can return EARLY for donated+aliased pallas
+        chains on the axon backend (the output buffer aliases an
+        already-materialized input); a scalar D2H forces completion."""
+        x = out if not isinstance(out, tuple) else out[0]
+        if hasattr(x, "dtype"):
+            float(jnp.sum(x))
+        return out
+
     def t(label, fn, *args, reps=2, **kw):
-        out = fn(*args, **kw)          # compile/warm
-        jax.block_until_ready(out if not isinstance(out, tuple) else out[0])
+        out = _force(fn(*args, **kw))          # compile/warm
         ts = []
         for _ in range(reps):
             t0 = time.time()
-            out = fn(*args, **kw)
-            jax.block_until_ready(
-                out if not isinstance(out, tuple) else out[0])
+            out = _force(fn(*args, **kw))
             ts.append(time.time() - t0)
         print(json.dumps({"phase": label, "s": round(min(ts), 4)}),
               flush=True)
         return out
 
     psi = t("forward sweep", bound.forward, theta)
-    if obj.segmented:
-        lam = t("H pass (lham)", obj._seg_lham, psi)
-        grad0 = jax.numpy.zeros(theta.shape, dtype=psi.dtype)
-        segs = None
-        # reuse the builder's segment splitter via energy_and_grad phases:
-        t("expectation", obj._seg_expect, psi)
-
-        def adjoint():
-            import jax.numpy as jnp
-            th = jnp.asarray(theta, dtype=psi.dtype)
-            gx, gz, gs, gop = bound._seq_args
-            p, l, g = gr.grouped_adjoint_sweep(th, psi, lam, grad0,
-                                               jnp.asarray(gx),
-                                               jnp.asarray(gz),
-                                               jnp.asarray(gs),
-                                               jnp.asarray(gop))
-            return g
-
-        # segmented adjoint: call the builder path through energy_and_grad
-        t0 = time.time()
-        e, g = bound.energy_and_grad(theta)
-        print(json.dumps({"phase": "full energy_and_grad (compile-warm)",
-                          "s": round(time.time() - t0, 4)}), flush=True)
-        t("full energy_and_grad", bound.energy_and_grad, theta, reps=1)
-    else:
-        lam = t("H pass (lham)", obj.ham_apply, psi)
-        t("full energy_and_grad", bound.energy_and_grad, theta, reps=1)
+    lam = t("H pass (lham)", obj.ham_apply, psi)
+    t("expectation", obj.expectation, psi)
+    t0 = time.time()
+    e, g = bound.energy_and_grad(theta)
+    print(json.dumps({"phase": "full energy_and_grad (compile-warm)",
+                      "s": round(time.time() - t0, 4)}), flush=True)
+    t("full energy_and_grad", bound.energy_and_grad, theta, reps=1)
 
 
 if __name__ == "__main__":

@@ -164,6 +164,25 @@ def test_objective_streaming_end_to_end(monkeypatch):
     assert abs(st_obj.expectation(psi) - ref_obj.expectation(psi)) < 1e-5
 
 
+def test_stream_policy_env(monkeypatch):
+    """OVQE_STREAM policy wiring: 0 disables, force enables wherever
+    supported (including non-segmented sizes)."""
+    from openvqe_tpu.ops.pauli import PauliSum
+    from openvqe_tpu.sim.objective import VQEObjective
+
+    ham = PauliSum.identity(N, 0.1) + PauliSum.from_term(
+        N, 0.5, "XX" + "I" * (N - 2))
+    monkeypatch.setattr("openvqe_tpu.sim.streaming.streaming_supported",
+                        lambda n: True)
+    monkeypatch.setattr("openvqe_tpu.sim.statevector.default_rdtype",
+                        lambda: np.float32)
+    monkeypatch.setenv("OVQE_STREAM", "0")
+    assert not VQEObjective(ham, segmented=True)._streaming
+    monkeypatch.setenv("OVQE_STREAM", "force")
+    obj = VQEObjective(ham, segmented=False)
+    assert obj._streaming and not obj._pallas
+
+
 def test_deep_pipeline_parity(data):
     """chunk_bits=1 at N=18 gives 8 chunks -> up to 8 outer iterations per
     group, executing the double-buffer wait paths (i >= 2 out-DMA waits,
