@@ -37,6 +37,11 @@ def fresh(x):
     return x + jnp.float32(0.0)
 
 
+@jax.jit
+def jsum(x):
+    return jnp.sum(x)
+
+
 psi0 = jnp.asarray(rng.normal(size=(2, 1 << n)).astype(np.float32))
 
 for rep in range(3):
@@ -45,8 +50,13 @@ for rep in range(3):
     for _ in range(3):                     # host loop of donated calls
         psi = rot_seg(psi, jnp.asarray(theta))
     t1 = time.time()
-    s = float(jnp.sum(psi))                # forced materialization
+    s = float(jsum(psi))                   # JITTED forced materialization
     t2 = time.time()
-    print(f"rep {rep}: dispatch {t1-t0:.3f}s  force {t2-t1:.3f}s  "
+    print(f"rep {rep}: dispatch {t1-t0:.3f}s  jit-force {t2-t1:.3f}s  "
           f"sum={s:.4f}", flush=True)
+
+# eager reduction on the same buffer — suspected hang trigger on axon
+t0 = time.time()
+s = float(jnp.sum(psi))
+print(f"eager force {time.time()-t0:.3f}s sum={s:.4f}", flush=True)
 print("probe done")

@@ -375,29 +375,31 @@ def _rot_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
                     cre_ref[0])
     C = bufA.shape[2]
 
-    def in_dmas(i):
+    def in_dmas(i, side):
         slot = i & 1
         h = _pair_index(i, xh, mb)
         hh = h ^ xh
-        d = [pltpu.make_async_copy(psi_ref.at[p, pl.ds(h * C, C)],
-                                   bufA.at[slot, p], sin.at[slot, p])
-             for p in (0, 1)]
-        db = [pltpu.make_async_copy(psi_ref.at[p, pl.ds(hh * C, C)],
-                                    bufB.at[slot, p], sin.at[slot, 2 + p])
-              for p in (0, 1)]
-        return d, db
+        if side == "a":
+            return [pltpu.make_async_copy(psi_ref.at[p, pl.ds(h * C, C)],
+                                          bufA.at[slot, p], sin.at[slot, p])
+                    for p in (0, 1)]
+        return [pltpu.make_async_copy(psi_ref.at[p, pl.ds(hh * C, C)],
+                                      bufB.at[slot, p], sin.at[slot, 2 + p])
+                for p in (0, 1)]
 
-    def out_dmas(i):
+    def out_dmas(i, side):
         slot = i & 1
         h = _pair_index(i, xh, mb)
         hh = h ^ xh
-        d = [pltpu.make_async_copy(outA.at[slot, p],
-                                   psi_ref.at[p, pl.ds(h * C, C)],
-                                   sout.at[slot, p]) for p in (0, 1)]
-        db = [pltpu.make_async_copy(outB.at[slot, p],
-                                    psi_ref.at[p, pl.ds(hh * C, C)],
-                                    sout.at[slot, 2 + p]) for p in (0, 1)]
-        return d, db
+        if side == "a":
+            return [pltpu.make_async_copy(outA.at[slot, p],
+                                          psi_ref.at[p, pl.ds(h * C, C)],
+                                          sout.at[slot, p])
+                    for p in (0, 1)]
+        return [pltpu.make_async_copy(outB.at[slot, p],
+                                      psi_ref.at[p, pl.ds(hh * C, C)],
+                                      sout.at[slot, 2 + p])
+                for p in (0, 1)]
 
     def rot_chunk(dst, src, partner, h):
         """dst <- cos(B) src + sin(B) roll_xc(perm(partner)) per plane."""
@@ -408,12 +410,11 @@ def _rot_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
     @pl.when(nout > 0)
     def _():
-        dA, dB = in_dmas(0)
-        _start(dA)
+        _start(in_dmas(0, "a"))
 
         @pl.when(xh > 0)
         def _():
-            _start(dB)
+            _start(in_dmas(0, "b"))
 
     def outer(i, _):
         slot = i & 1
@@ -421,52 +422,46 @@ def _rot_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
         @pl.when(i + 1 < nout)
         def _():
-            dA, dB = in_dmas(i + 1)
-            _start(dA)
+            _start(in_dmas(i + 1, "a"))
 
             @pl.when(xh > 0)
             def _():
-                _start(dB)
+                _start(in_dmas(i + 1, "b"))
 
-        dA, dB = in_dmas(i)
-        _wait(dA)
+        _wait(in_dmas(i, "a"))
 
         # the slot's previous write-back must land before staging is reused
         @pl.when(i >= 2)
         def _():
-            oA, oB = out_dmas(i - 2)
-            _wait(oA)
+            _wait(out_dmas(i - 2, "a"))
 
             @pl.when(xh > 0)
             def _():
-                _wait(oB)
+                _wait(out_dmas(i - 2, "b"))
 
         @pl.when(xh > 0)
         def _():
-            _wait(dB)
+            _wait(in_dmas(i, "b"))
             rot_chunk(outA.at[slot], bufA.at[slot], bufB.at[slot], h)
             rot_chunk(outB.at[slot], bufB.at[slot], bufA.at[slot], h ^ xh)
-            oA, oB = out_dmas(i)
-            _start(oA)
-            _start(oB)
+            _start(out_dmas(i, "a"))
+            _start(out_dmas(i, "b"))
 
         @pl.when(xh == 0)
         def _():
             rot_chunk(outA.at[slot], bufA.at[slot], bufA.at[slot], h)
-            oA, _unused = out_dmas(i)
-            _start(oA)
+            _start(out_dmas(i, "a"))
 
         return 0
 
     jax.lax.fori_loop(0, nout, outer, 0)
 
     def drain(i, _):
-        oA, oB = out_dmas(i)
-        _wait(oA)
+        _wait(out_dmas(i, "a"))
 
         @pl.when(xh > 0)
         def _():
-            _wait(oB)
+            _wait(out_dmas(i, "b"))
 
         return 0
 
@@ -542,17 +537,17 @@ def _expect_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
     C = bufA.shape[2]
     eacc[0, 0] = jnp.float32(0.0)
 
-    def in_dmas(i):
+    def in_dmas(i, side):
         slot = i & 1
         h = _pair_index(i, xh, mb)
         hh = h ^ xh
-        d = [pltpu.make_async_copy(psi_ref.at[p, pl.ds(h * C, C)],
-                                   bufA.at[slot, p], sin.at[slot, p])
-             for p in (0, 1)]
-        db = [pltpu.make_async_copy(psi_ref.at[p, pl.ds(hh * C, C)],
-                                    bufB.at[slot, p], sin.at[slot, 2 + p])
-              for p in (0, 1)]
-        return d, db
+        if side == "a":
+            return [pltpu.make_async_copy(psi_ref.at[p, pl.ds(h * C, C)],
+                                          bufA.at[slot, p], sin.at[slot, p])
+                    for p in (0, 1)]
+        return [pltpu.make_async_copy(psi_ref.at[p, pl.ds(hh * C, C)],
+                                      bufB.at[slot, p], sin.at[slot, 2 + p])
+                for p in (0, 1)]
 
     def contrib(src, partner, h):
         """Ordered contribution of all C tiles of chunk ``src``:
@@ -566,12 +561,11 @@ def _expect_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
     @pl.when(nout > 0)
     def _():
-        dA, dB = in_dmas(0)
-        _start(dA)
+        _start(in_dmas(0, "a"))
 
         @pl.when(xh > 0)
         def _():
-            _start(dB)
+            _start(in_dmas(0, "b"))
 
     def outer(i, _):
         slot = i & 1
@@ -579,19 +573,17 @@ def _expect_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
         @pl.when(i + 1 < nout)
         def _():
-            dA, dB = in_dmas(i + 1)
-            _start(dA)
+            _start(in_dmas(i + 1, "a"))
 
             @pl.when(xh > 0)
             def _():
-                _start(dB)
+                _start(in_dmas(i + 1, "b"))
 
-        dA, dB = in_dmas(i)
-        _wait(dA)
+        _wait(in_dmas(i, "a"))
 
         @pl.when(xh > 0)
         def _():
-            _wait(dB)
+            _wait(in_dmas(i, "b"))
             eacc[0, 0] += (contrib(bufA.at[slot], bufB.at[slot], h)
                            + contrib(bufB.at[slot], bufA.at[slot], h ^ xh))
 
@@ -667,35 +659,39 @@ def _ham_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
                     cre_ref[0], cim_ref[0])
     C = bufA.shape[2]
 
-    def in_dmas(i):
+    def in_dmas(i, side):
         slot = i & 1
         h = _pair_index(i, xh, mb)
         hh = h ^ xh
-        d = ([pltpu.make_async_copy(psi_ref.at[p, pl.ds(h * C, C)],
-                                    bufA.at[slot, p], sin.at[slot, p])
-              for p in (0, 1)]
-             + [pltpu.make_async_copy(acc_ref.at[p, pl.ds(h * C, C)],
-                                      accA.at[slot, p], sin.at[slot, 2 + p])
-                for p in (0, 1)])
-        db = ([pltpu.make_async_copy(psi_ref.at[p, pl.ds(hh * C, C)],
-                                     bufB.at[slot, p], sin.at[slot, 4 + p])
-               for p in (0, 1)]
-              + [pltpu.make_async_copy(acc_ref.at[p, pl.ds(hh * C, C)],
-                                       accB.at[slot, p], sin.at[slot, 6 + p])
-                 for p in (0, 1)])
-        return d, db
+        if side == "a":
+            return ([pltpu.make_async_copy(psi_ref.at[p, pl.ds(h * C, C)],
+                                           bufA.at[slot, p], sin.at[slot, p])
+                     for p in (0, 1)]
+                    + [pltpu.make_async_copy(
+                        acc_ref.at[p, pl.ds(h * C, C)],
+                        accA.at[slot, p], sin.at[slot, 2 + p])
+                       for p in (0, 1)])
+        return ([pltpu.make_async_copy(psi_ref.at[p, pl.ds(hh * C, C)],
+                                       bufB.at[slot, p], sin.at[slot, 4 + p])
+                 for p in (0, 1)]
+                + [pltpu.make_async_copy(acc_ref.at[p, pl.ds(hh * C, C)],
+                                         accB.at[slot, p],
+                                         sin.at[slot, 6 + p])
+                   for p in (0, 1)])
 
-    def out_dmas(i):
+    def out_dmas(i, side):
         slot = i & 1
         h = _pair_index(i, xh, mb)
         hh = h ^ xh
-        d = [pltpu.make_async_copy(accA.at[slot, p],
-                                   acc_ref.at[p, pl.ds(h * C, C)],
-                                   sout.at[slot, p]) for p in (0, 1)]
-        db = [pltpu.make_async_copy(accB.at[slot, p],
-                                    acc_ref.at[p, pl.ds(hh * C, C)],
-                                    sout.at[slot, 2 + p]) for p in (0, 1)]
-        return d, db
+        if side == "a":
+            return [pltpu.make_async_copy(accA.at[slot, p],
+                                          acc_ref.at[p, pl.ds(h * C, C)],
+                                          sout.at[slot, p])
+                    for p in (0, 1)]
+        return [pltpu.make_async_copy(accB.at[slot, p],
+                                      acc_ref.at[p, pl.ds(hh * C, C)],
+                                      sout.at[slot, 2 + p])
+                for p in (0, 1)]
 
     def add(dst, partner, h):
         """dst += W(h-chunk tiles) (.) roll_xc(perm(partner)) (complex)."""
@@ -708,12 +704,11 @@ def _ham_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
     @pl.when(nout > 0)
     def _():
-        dA, dB = in_dmas(0)
-        _start(dA)
+        _start(in_dmas(0, "a"))
 
         @pl.when(xh > 0)
         def _():
-            _start(dB)
+            _start(in_dmas(0, "b"))
 
     def outer(i, _):
         slot = i & 1
@@ -725,49 +720,43 @@ def _ham_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
             # previous write-back must have landed first
             @pl.when(i >= 1)
             def _():
-                oA, oB = out_dmas(i - 1)
-                _wait(oA)
+                _wait(out_dmas(i - 1, "a"))
 
                 @pl.when(xh > 0)
                 def _():
-                    _wait(oB)
+                    _wait(out_dmas(i - 1, "b"))
 
-            dA, dB = in_dmas(i + 1)
-            _start(dA)
+            _start(in_dmas(i + 1, "a"))
 
             @pl.when(xh > 0)
             def _():
-                _start(dB)
+                _start(in_dmas(i + 1, "b"))
 
-        dA, dB = in_dmas(i)
-        _wait(dA)
+        _wait(in_dmas(i, "a"))
 
         @pl.when(xh > 0)
         def _():
-            _wait(dB)
+            _wait(in_dmas(i, "b"))
             add(accA.at[slot], bufB.at[slot], h)
             add(accB.at[slot], bufA.at[slot], h ^ xh)
-            oA, oB = out_dmas(i)
-            _start(oA)
-            _start(oB)
+            _start(out_dmas(i, "a"))
+            _start(out_dmas(i, "b"))
 
         @pl.when(xh == 0)
         def _():
             add(accA.at[slot], bufA.at[slot], h)
-            oA, _unused = out_dmas(i)
-            _start(oA)
+            _start(out_dmas(i, "a"))
 
         return 0
 
     jax.lax.fori_loop(0, nout, outer, 0)
 
     def drain(i, _):
-        oA, oB = out_dmas(i)
-        _wait(oA)
+        _wait(out_dmas(i, "a"))
 
         @pl.when(xh > 0)
         def _():
-            _wait(oB)
+            _wait(out_dmas(i, "b"))
 
         return 0
 
@@ -900,35 +889,39 @@ def _ham_bucket_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
     C = bufA.shape[2]
     Gcap = act_ref.shape[1]
 
-    def in_dmas(i):
+    def in_dmas(i, side):
         slot = i & 1
         h = _pair_index(i, xh, mb)
         hh = h ^ xh
-        d = ([pltpu.make_async_copy(psi_ref.at[p, pl.ds(h * C, C)],
-                                    bufA.at[slot, p], sin.at[slot, p])
-              for p in (0, 1)]
-             + [pltpu.make_async_copy(acc_ref.at[p, pl.ds(h * C, C)],
-                                      accA.at[slot, p], sin.at[slot, 2 + p])
-                for p in (0, 1)])
-        db = ([pltpu.make_async_copy(psi_ref.at[p, pl.ds(hh * C, C)],
-                                     bufB.at[slot, p], sin.at[slot, 4 + p])
-               for p in (0, 1)]
-              + [pltpu.make_async_copy(acc_ref.at[p, pl.ds(hh * C, C)],
-                                       accB.at[slot, p], sin.at[slot, 6 + p])
-                 for p in (0, 1)])
-        return d, db
+        if side == "a":
+            return ([pltpu.make_async_copy(psi_ref.at[p, pl.ds(h * C, C)],
+                                           bufA.at[slot, p], sin.at[slot, p])
+                     for p in (0, 1)]
+                    + [pltpu.make_async_copy(
+                        acc_ref.at[p, pl.ds(h * C, C)],
+                        accA.at[slot, p], sin.at[slot, 2 + p])
+                       for p in (0, 1)])
+        return ([pltpu.make_async_copy(psi_ref.at[p, pl.ds(hh * C, C)],
+                                       bufB.at[slot, p], sin.at[slot, 4 + p])
+                 for p in (0, 1)]
+                + [pltpu.make_async_copy(acc_ref.at[p, pl.ds(hh * C, C)],
+                                         accB.at[slot, p],
+                                         sin.at[slot, 6 + p])
+                   for p in (0, 1)])
 
-    def out_dmas(i):
+    def out_dmas(i, side):
         slot = i & 1
         h = _pair_index(i, xh, mb)
         hh = h ^ xh
-        d = [pltpu.make_async_copy(accA.at[slot, p],
-                                   acc_ref.at[p, pl.ds(h * C, C)],
-                                   sout.at[slot, p]) for p in (0, 1)]
-        db = [pltpu.make_async_copy(accB.at[slot, p],
-                                    acc_ref.at[p, pl.ds(hh * C, C)],
-                                    sout.at[slot, 2 + p]) for p in (0, 1)]
-        return d, db
+        if side == "a":
+            return [pltpu.make_async_copy(accA.at[slot, p],
+                                          acc_ref.at[p, pl.ds(h * C, C)],
+                                          sout.at[slot, p])
+                    for p in (0, 1)]
+        return [pltpu.make_async_copy(accB.at[slot, p],
+                                      acc_ref.at[p, pl.ds(hh * C, C)],
+                                      sout.at[slot, 2 + p])
+                for p in (0, 1)]
 
     def add_group(dst, partner, ctx, h):
         pb0 = ctx.perm(partner[0])
@@ -940,12 +933,11 @@ def _ham_bucket_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
     @pl.when(nout > 0)
     def _():
-        dA, dB = in_dmas(0)
-        _start(dA)
+        _start(in_dmas(0, "a"))
 
         @pl.when(xh > 0)
         def _():
-            _start(dB)
+            _start(in_dmas(0, "b"))
 
     def outer(i, _):
         slot = i & 1
@@ -955,26 +947,23 @@ def _ham_bucket_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
         def _():
             @pl.when(i >= 1)
             def _():
-                oA, oB = out_dmas(i - 1)
-                _wait(oA)
+                _wait(out_dmas(i - 1, "a"))
 
                 @pl.when(xh > 0)
                 def _():
-                    _wait(oB)
+                    _wait(out_dmas(i - 1, "b"))
 
-            dA, dB = in_dmas(i + 1)
-            _start(dA)
+            _start(in_dmas(i + 1, "a"))
 
             @pl.when(xh > 0)
             def _():
-                _start(dB)
+                _start(in_dmas(i + 1, "b"))
 
-        dA, dB = in_dmas(i)
-        _wait(dA)
+        _wait(in_dmas(i, "a"))
 
         @pl.when(xh > 0)
         def _():
-            _wait(dB)
+            _wait(in_dmas(i, "b"))
 
         def group_body(g2, _):
             @pl.when(act_ref[b, g2] != 0)
@@ -996,24 +985,22 @@ def _ham_bucket_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
         jax.lax.fori_loop(0, Gcap, group_body, 0)
 
-        oA, oB = out_dmas(i)
-        _start(oA)
+        _start(out_dmas(i, "a"))
 
         @pl.when(xh > 0)
         def _():
-            _start(oB)
+            _start(out_dmas(i, "b"))
 
         return 0
 
     jax.lax.fori_loop(0, nout, outer, 0)
 
     def drain(i, _):
-        oA, oB = out_dmas(i)
-        _wait(oA)
+        _wait(out_dmas(i, "a"))
 
         @pl.when(xh > 0)
         def _():
-            _wait(oB)
+            _wait(out_dmas(i, "b"))
 
         return 0
 
@@ -1121,23 +1108,25 @@ def _pool_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
     racc[0, 0] = jnp.float32(0.0)
     iacc[0, 0] = jnp.float32(0.0)
 
-    def in_dmas(i):
+    def in_dmas(i, side):
         slot = i & 1
         h = _pair_index(i, xh, mb)
         hh = h ^ xh
-        d = ([pltpu.make_async_copy(sig_ref.at[p, pl.ds(h * C, C)],
-                                    sigA.at[slot, p], sin.at[slot, p])
-              for p in (0, 1)]
-             + [pltpu.make_async_copy(psi_ref.at[p, pl.ds(h * C, C)],
-                                      bufA.at[slot, p], sin.at[slot, 2 + p])
-                for p in (0, 1)])
-        db = ([pltpu.make_async_copy(sig_ref.at[p, pl.ds(hh * C, C)],
-                                     sigB.at[slot, p], sin.at[slot, 4 + p])
-               for p in (0, 1)]
-              + [pltpu.make_async_copy(psi_ref.at[p, pl.ds(hh * C, C)],
-                                       bufB.at[slot, p], sin.at[slot, 6 + p])
-                 for p in (0, 1)])
-        return d, db
+        if side == "a":
+            return ([pltpu.make_async_copy(sig_ref.at[p, pl.ds(h * C, C)],
+                                           sigA.at[slot, p], sin.at[slot, p])
+                     for p in (0, 1)]
+                    + [pltpu.make_async_copy(
+                        psi_ref.at[p, pl.ds(h * C, C)],
+                        bufA.at[slot, p], sin.at[slot, 2 + p])
+                       for p in (0, 1)])
+        return ([pltpu.make_async_copy(sig_ref.at[p, pl.ds(hh * C, C)],
+                                       sigB.at[slot, p], sin.at[slot, 4 + p])
+                 for p in (0, 1)]
+                + [pltpu.make_async_copy(psi_ref.at[p, pl.ds(hh * C, C)],
+                                         bufB.at[slot, p],
+                                         sin.at[slot, 6 + p])
+                   for p in (0, 1)])
 
     def contrib(sig, partner, h):
         """sum_j conj(sigma_j) (W(j) psi_{j^x})_j over chunk tiles."""
@@ -1153,12 +1142,11 @@ def _pool_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
     @pl.when(nout > 0)
     def _():
-        dA, dB = in_dmas(0)
-        _start(dA)
+        _start(in_dmas(0, "a"))
 
         @pl.when(xh > 0)
         def _():
-            _start(dB)
+            _start(in_dmas(0, "b"))
 
     def outer(i, _):
         slot = i & 1
@@ -1166,19 +1154,17 @@ def _pool_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
         @pl.when(i + 1 < nout)
         def _():
-            dA, dB = in_dmas(i + 1)
-            _start(dA)
+            _start(in_dmas(i + 1, "a"))
 
             @pl.when(xh > 0)
             def _():
-                _start(dB)
+                _start(in_dmas(i + 1, "b"))
 
-        dA, dB = in_dmas(i)
-        _wait(dA)
+        _wait(in_dmas(i, "a"))
 
         @pl.when(xh > 0)
         def _():
-            _wait(dB)
+            _wait(in_dmas(i, "b"))
             rA, iA = contrib(sigA.at[slot], bufB.at[slot], h)
             rB, iB = contrib(sigB.at[slot], bufA.at[slot], h ^ xh)
             racc[0, 0] += rA + rB
@@ -1312,41 +1298,47 @@ def _adj_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
     C = bufPA.shape[2]
     gacc[0, 0] = jnp.float32(0.0)
 
-    def in_dmas(i):
+    def in_dmas(i, side):
         slot = i & 1
         h = _pair_index(i, xh, mb)
         hh = h ^ xh
-        d = ([pltpu.make_async_copy(p_ref.at[p, pl.ds(h * C, C)],
-                                    bufPA.at[slot, p], sin.at[slot, p])
-              for p in (0, 1)]
-             + [pltpu.make_async_copy(l_ref.at[p, pl.ds(h * C, C)],
-                                      bufLA.at[slot, p], sin.at[slot, 2 + p])
-                for p in (0, 1)])
-        db = ([pltpu.make_async_copy(p_ref.at[p, pl.ds(hh * C, C)],
-                                     bufPB.at[slot, p], sin.at[slot, 4 + p])
-               for p in (0, 1)]
-              + [pltpu.make_async_copy(l_ref.at[p, pl.ds(hh * C, C)],
-                                       bufLB.at[slot, p], sin.at[slot, 6 + p])
-                 for p in (0, 1)])
-        return d, db
+        if side == "a":
+            return ([pltpu.make_async_copy(p_ref.at[p, pl.ds(h * C, C)],
+                                           bufPA.at[slot, p],
+                                           sin.at[slot, p])
+                     for p in (0, 1)]
+                    + [pltpu.make_async_copy(
+                        l_ref.at[p, pl.ds(h * C, C)],
+                        bufLA.at[slot, p], sin.at[slot, 2 + p])
+                       for p in (0, 1)])
+        return ([pltpu.make_async_copy(p_ref.at[p, pl.ds(hh * C, C)],
+                                       bufPB.at[slot, p], sin.at[slot, 4 + p])
+                 for p in (0, 1)]
+                + [pltpu.make_async_copy(l_ref.at[p, pl.ds(hh * C, C)],
+                                         bufLB.at[slot, p],
+                                         sin.at[slot, 6 + p])
+                   for p in (0, 1)])
 
-    def out_dmas(i):
+    def out_dmas(i, side):
         slot = i & 1
         h = _pair_index(i, xh, mb)
         hh = h ^ xh
-        d = ([pltpu.make_async_copy(outPA.at[slot, p],
-                                    p_ref.at[p, pl.ds(h * C, C)],
-                                    sout.at[slot, p]) for p in (0, 1)]
-             + [pltpu.make_async_copy(outLA.at[slot, p],
-                                      l_ref.at[p, pl.ds(h * C, C)],
-                                      sout.at[slot, 2 + p]) for p in (0, 1)])
-        db = ([pltpu.make_async_copy(outPB.at[slot, p],
-                                     p_ref.at[p, pl.ds(hh * C, C)],
-                                     sout.at[slot, 4 + p]) for p in (0, 1)]
-              + [pltpu.make_async_copy(outLB.at[slot, p],
-                                       l_ref.at[p, pl.ds(hh * C, C)],
-                                       sout.at[slot, 6 + p]) for p in (0, 1)])
-        return d, db
+        if side == "a":
+            return ([pltpu.make_async_copy(outPA.at[slot, p],
+                                           p_ref.at[p, pl.ds(h * C, C)],
+                                           sout.at[slot, p])
+                     for p in (0, 1)]
+                    + [pltpu.make_async_copy(
+                        outLA.at[slot, p], l_ref.at[p, pl.ds(h * C, C)],
+                        sout.at[slot, 2 + p]) for p in (0, 1)])
+        return ([pltpu.make_async_copy(outPB.at[slot, p],
+                                       p_ref.at[p, pl.ds(hh * C, C)],
+                                       sout.at[slot, 4 + p])
+                 for p in (0, 1)]
+                + [pltpu.make_async_copy(outLB.at[slot, p],
+                                         l_ref.at[p, pl.ds(hh * C, C)],
+                                         sout.at[slot, 6 + p])
+                   for p in (0, 1)])
 
     def unrot(dstP, dstL, srcP, srcL, pP, pL, h):
         """Un-rotate chunk (srcP, srcL) given partner chunks (pP, pL) and
@@ -1365,12 +1357,11 @@ def _adj_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
     @pl.when(nout > 0)
     def _():
-        dA, dB = in_dmas(0)
-        _start(dA)
+        _start(in_dmas(0, "a"))
 
         @pl.when(xh > 0)
         def _():
-            _start(dB)
+            _start(in_dmas(0, "b"))
 
     def outer(i, _):
         slot = i & 1
@@ -1378,30 +1369,27 @@ def _adj_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
         @pl.when(i + 1 < nout)
         def _():
-            dA, dB = in_dmas(i + 1)
-            _start(dA)
+            _start(in_dmas(i + 1, "a"))
 
             @pl.when(xh > 0)
             def _():
-                _start(dB)
+                _start(in_dmas(i + 1, "b"))
 
-        dA, dB = in_dmas(i)
-        _wait(dA)
+        _wait(in_dmas(i, "a"))
 
         # the slot's previous write-back must land before its staging
         # buffers are overwritten
         @pl.when(i >= 2)
         def _():
-            oA, oB = out_dmas(i - 2)
-            _wait(oA)
+            _wait(out_dmas(i - 2, "a"))
 
             @pl.when(xh > 0)
             def _():
-                _wait(oB)
+                _wait(out_dmas(i - 2, "b"))
 
         @pl.when(xh > 0)
         def _():
-            _wait(dB)
+            _wait(in_dmas(i, "b"))
             gA = unrot(outPA.at[slot], outLA.at[slot],
                        bufPA.at[slot], bufLA.at[slot],
                        bufPB.at[slot], bufLB.at[slot], h)
@@ -1409,9 +1397,8 @@ def _adj_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
                        bufPB.at[slot], bufLB.at[slot],
                        bufPA.at[slot], bufLA.at[slot], h ^ xh)
             gacc[0, 0] += gA + gB
-            oA, oB = out_dmas(i)
-            _start(oA)
-            _start(oB)
+            _start(out_dmas(i, "a"))
+            _start(out_dmas(i, "b"))
 
         @pl.when(xh == 0)
         def _():
@@ -1419,20 +1406,18 @@ def _adj_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
                        bufPA.at[slot], bufLA.at[slot],
                        bufPA.at[slot], bufLA.at[slot], h)
             gacc[0, 0] += gA
-            oA, _unused = out_dmas(i)
-            _start(oA)
+            _start(out_dmas(i, "a"))
 
         return 0
 
     jax.lax.fori_loop(0, nout, outer, 0)
 
     def drain(i, _):
-        oA, oB = out_dmas(i)
-        _wait(oA)
+        _wait(out_dmas(i, "a"))
 
         @pl.when(xh > 0)
         def _():
-            _wait(oB)
+            _wait(out_dmas(i, "b"))
 
         return 0
 
