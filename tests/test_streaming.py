@@ -254,6 +254,38 @@ def test_pool_overlap_parity(data):
     np.testing.assert_allclose(np.imag(v_st), vim, rtol=1e-4, atol=1e-5)
 
 
+def test_bucketed_ham_parity(data):
+    """x_huge-bucketed H apply == the per-group scan reference, including
+    multi-bucket splits (cap=2 forces several buckets per x_huge)."""
+    x, z, coef, op, theta, psi = data
+    rng = np.random.default_rng(13)
+    cim = rng.normal(size=coef.shape).astype(np.float32) * 0.1
+
+    def step(a, g):
+        xg, zg, ar, ai = g
+        px = gr.xor_perm(jnp.asarray(psi), xg)
+        w_re = gr._sign_field(zg, ar, N).reshape(-1)
+        w_im = gr._sign_field(zg, ai, N).reshape(-1)
+        a = a + jnp.stack([w_re * px[0] - w_im * px[1],
+                           w_re * px[1] + w_im * px[0]])
+        return a, None
+
+    ref, _ = jax.lax.scan(step, jnp.zeros_like(jnp.asarray(psi)),
+                          (jnp.asarray(x), jnp.asarray(z),
+                           jnp.asarray(coef), jnp.asarray(cim)))
+
+    from openvqe_tpu.sim.grouped import GroupedPauliSum
+    gham = GroupedPauliSum(
+        n=N, z_diag=np.zeros(0, np.int32), a_diag_re=np.zeros(0, np.float32),
+        a_diag_im=np.zeros(0, np.float32), x=x, z=z, a_re=coef, a_im=cim,
+        c_re=0.0, c_im=0.0, n_terms=x.size * z.shape[1], hermitian=False)
+    bargs = st.build_ham_buckets(gham, gcap=2)
+    out = st.ham_apply_bucketed(psi, np.zeros_like(psi), *bargs,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
 def test_adjoint_parity(data):
     x, z, coef, op, theta, psi = data
     rng = np.random.default_rng(10)
