@@ -10,6 +10,7 @@ one_body_integrals, two_body_integrals, info)``.
   eigenvalues are the NOONs the reference uses for active-space thresholds.
 - ``two_body_integrals[p,q,r,s] = <pq|rs>`` (physicist, MO basis).
 - ``info`` carries 'HF', 'MP2', 'FCI', 'nuclear_repulsion', 'n_orbitals'.
+  'MP2' is NaN for open-shell molecules (ROHF-MP2 is not uniquely defined).
 """
 
 from __future__ import annotations
@@ -148,9 +149,12 @@ def compute_molecule(geometry, basis: str, spin: int = 0, charge: int = 0,
             rdm1 = np.diag([2.0] * n_beta + [1.0] * spin
                            + [0.0] * (n_orb - n_alpha))
 
+    # open-shell runs carry no MP2 energy (ROHF-MP2 is not uniquely
+    # defined): store NaN rather than None so numeric consumers
+    # ('%f' % info['MP2'], comparisons) degrade instead of raising
     info = {
         "HF": hf.energy,
-        "MP2": e_mp2,
+        "MP2": e_mp2 if e_mp2 is not None else float("nan"),
         "FCI": e_fci,
         "FCI_roots": fci_roots,
         "nuclear_repulsion": e_nuc,

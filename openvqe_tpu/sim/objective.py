@@ -67,7 +67,10 @@ class VQEObjective:
         #     qubits otherwise.  OVQE_PALLAS=0 disables.
         import os
         f32 = sv.default_rdtype() == np.float32
-        stream_env = os.environ.get("OVQE_STREAM", "1")
+        stream_env = os.environ.get("OVQE_STREAM", "1").lower()
+        if stream_env not in ("1", "0", "force"):
+            raise ValueError(
+                f"OVQE_STREAM must be 1|0|force, got {stream_env!r}")
         want_stream = (True if stream_env == "force"
                        else self.segmented or self.n > pk.MAX_N_2STATE)
         self._streaming = (want_stream and st.streaming_supported(self.n)

@@ -204,19 +204,6 @@ def _split_limbs(x, limbs: int = 3):
     return parts
 
 
-def _pmm(X, P, dims):
-    """X (state side, f32) contracted with P (exact {0,1} side)."""
-    if _STREAM_MM == "highest":
-        return _mm(X, P, dims)
-    P16 = P.astype(jnp.bfloat16)
-    out = None
-    for limb in _split_limbs(X):
-        c = jax.lax.dot_general(limb, P16, (dims, ((), ())),
-                                preferred_element_type=jnp.float32)
-        out = c if out is None else out + c
-    return out
-
-
 from .pallas_kernels import _perm_kernel_matrix as _perm_matrix
 
 
@@ -1563,14 +1550,16 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
     # ways — halve their segments so every device call sees the same bound
     seg2 = max(8, seg // 2)
     hd = stream_ham_data(gham)
-    h_segments = ([tuple(jnp.asarray(a) for a in s)
-                   for s in _segments(ham_stream_args(hd), seg2)]
-                  if hd.G else [])
     # H|psi> runs BUCKETED by x_huge: one state pass per bucket instead of
     # per group (order-free sum; ~90% less DMA traffic at 24+ qubits)
     bargs = build_ham_buckets(gham) if hd.G else None
     hb_segments = (_bucket_segments(bargs, seg2) if bargs is not None
                    else [])
+    # per-group expectation operands only matter when the bucketed path is
+    # unavailable — don't pin unused device arrays otherwise
+    h_segments = ([tuple(jnp.asarray(a) for a in s)
+                   for s in _segments(ham_stream_args(hd), seg2)]
+                  if hd.G and not hb_segments else [])
 
     @jax.jit
     def _diag_expect(psi):
