@@ -57,25 +57,37 @@ def n_parameters(nqbits: int, depth: int) -> int:
     return 2 * nqbits * (depth + 1) + 2
 
 
-def hea_state(theta: jnp.ndarray, k: int, nqbits: int, depth: int,
-              cdtype=None) -> jnp.ndarray:
-    """Hardware-efficient ansatz on basis state |k> (reference :70-105):
-    X-prep, RY/RZ pre-rotation on qubit 0, `depth` layers of per-qubit RY/RZ
-    + two CNOT ladders, final RY/RZ layer."""
-    psi = jnp.asarray(sv.hf_state(nqbits, k, cdtype))
-    psi = sv.apply_ry(psi, theta[-2], 0, nqbits)
-    psi = sv.apply_rz(psi, theta[-1], 0, nqbits)
+def hea_ops(nqbits: int, depth: int) -> List[Tuple]:
+    """The HEA gate list (reference :70-105): RY/RZ pre-rotation on qubit 0,
+    `depth` layers of per-qubit RY/RZ + two CNOT ladders, final RY/RZ layer.
+    Entries: ("ry"|"rz", qubit, theta_index) or ("cnot", control, target)."""
+    ops: List[Tuple] = [("ry", 0, -2), ("rz", 0, -1)]
     for d in range(depth):
         for i in range(nqbits):
-            psi = sv.apply_ry(psi, theta[2 * i + 2 * nqbits * d], i, nqbits)
-            psi = sv.apply_rz(psi, theta[2 * i + 1 + 2 * nqbits * d], i, nqbits)
+            ops.append(("ry", i, 2 * i + 2 * nqbits * d))
+            ops.append(("rz", i, 2 * i + 1 + 2 * nqbits * d))
         for i in range(nqbits // 2):
-            psi = sv.apply_cnot(psi, 2 * i + 1, 2 * i, nqbits)
+            ops.append(("cnot", 2 * i + 1, 2 * i))
         for i in range(nqbits // 2 - 1):
-            psi = sv.apply_cnot(psi, 2 * i + 2, 2 * i + 1, nqbits)
+            ops.append(("cnot", 2 * i + 2, 2 * i + 1))
     for i in range(nqbits):
-        psi = sv.apply_ry(psi, theta[2 * i + 2 * nqbits * depth], i, nqbits)
-        psi = sv.apply_rz(psi, theta[2 * i + 1 + 2 * nqbits * depth], i, nqbits)
+        ops.append(("ry", i, 2 * i + 2 * nqbits * depth))
+        ops.append(("rz", i, 2 * i + 1 + 2 * nqbits * depth))
+    return ops
+
+
+def hea_state(theta: jnp.ndarray, k: int, nqbits: int, depth: int,
+              cdtype=None) -> jnp.ndarray:
+    """Hardware-efficient ansatz on basis state |k> (reference :70-105)."""
+    psi = jnp.asarray(sv.hf_state(nqbits, k, cdtype))
+    for op in hea_ops(nqbits, depth):
+        kind, a, b = op
+        if kind == "ry":
+            psi = sv.apply_ry(psi, theta[b], a, nqbits)
+        elif kind == "rz":
+            psi = sv.apply_rz(psi, theta[b], a, nqbits)
+        else:
+            psi = sv.apply_cnot(psi, a, b, nqbits)
     return psi
 
 
@@ -98,40 +110,107 @@ def calculate_eigen_vectors(model: PauliSum, vals: int
     return w[order], [v[:, i] for i in order]
 
 
+def _build_sharded_wssvqe(model: PauliSum, n: int, depth: int, n_states: int,
+                          weights: Sequence[float], mesh):
+    """(total, grad_total, energies_fns, state_fns) with the statevectors
+    sharded over the mesh: gate-level applies from parallel/sharded_gates
+    (static one-hop ppermutes for the d global qubits), local grouped
+    expectation psum'd over the mesh axis.  Differentiable end-to-end —
+    jax.grad rides through shard_map's collectives."""
+    try:
+        from jax import shard_map
+    except ImportError:                                   # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import sharded as sh
+    from ..parallel import sharded_gates as sg
+    from ..sim import grouped as gr
+
+    d = sh.log2_devices(mesh)
+    if n <= d:
+        raise ValueError(f"need n > log2(devices): n={n}, d={d}")
+    h = sh._split_ham(gr.group_pauli_sum(compile_pauli_sum(model, n)), d)
+
+    def hea_local(theta, k):
+        psi = sg.basis_state_local(k, n, d, dtype=theta.dtype)
+        for op in hea_ops(n, depth):
+            kind, a, b = op
+            if kind == "ry":
+                psi = sg.apply_ry(psi, theta[b], a, n, d)
+            elif kind == "rz":
+                psi = sg.apply_rz(psi, theta[b], a, n, d)
+            else:
+                psi = sg.apply_cnot(psi, a, b, n, d)
+        return psi
+
+    def l_total(theta):
+        tot = jnp.zeros((), theta.dtype)
+        for k in range(n_states):
+            psi = hea_local(theta, k)
+            tot = tot + weights[k] * sh._local_expectation(psi, h, d)
+        return jax.lax.psum(tot, sh.AXIS)
+
+    sm = lambda f, outs: jax.jit(shard_map(
+        f, mesh=mesh, in_specs=(P(),), out_specs=outs))
+    total = sm(l_total, P())
+    grad_total = jax.jit(jax.grad(lambda th: sm(l_total, P())(th)))
+
+    energies_fns = []
+    state_fns = []
+    for k in range(n_states):
+        def make(k):
+            efn = sm(lambda th: jax.lax.psum(
+                sh._local_expectation(hea_local(th, k), h, d), sh.AXIS), P())
+            sfn = sm(lambda th: hea_local(th, k), sh.SPEC)
+            return efn, sfn
+        efn, sfn = make(k)
+        energies_fns.append(efn)
+        state_fns.append(sfn)
+    return total, grad_total, energies_fns, state_fns
+
+
 def run_wssvqe(model: PauliSum, n_states: int, depth: int,
                weights: Optional[Sequence[float]] = None,
                method: str = "BFGS", tol: float = 1e-6,
                maxiter: int = 10000, seed: int = 0,
-               track_fidelity: bool = True) -> Dict:
+               track_fidelity: bool = True, mesh=None) -> Dict:
     """Jointly minimize sum_k w_k <psi_k(theta)|H|psi_k(theta)> and return
     per-state energies, fidelities vs the exact eigenvectors, and the
-    optimization trace (reference opt_funct, :151-178)."""
+    optimization trace (reference opt_funct, :151-178).  ``mesh`` shards
+    every statevector over the device mesh (SURVEY §2.2)."""
     n = model.nbqbits
     if weights is None:
         weights = [float(n_states - i) for i in range(n_states)]
     weights = list(weights)
     ham = compile_pauli_sum(model, n)
-    hargs = sv.as_device(ham)
 
-    energies_fns = []
-    for k in range(n_states):
-        def make(k):
-            @jax.jit
-            def efn(theta):
-                psi = hea_state(theta, k, n, depth)
-                return sv.expectation(psi, *hargs)
-            return efn
-        energies_fns.append(make(k))
+    state_fns = None
+    if mesh is not None:
+        total, grad_total, energies_fns, state_fns = _build_sharded_wssvqe(
+            model, n, depth, n_states, weights, mesh)
+    else:
+        hargs = sv.as_device(ham)
 
-    @jax.jit
-    def total(theta):
-        tot = 0.0
+        energies_fns = []
         for k in range(n_states):
-            psi = hea_state(theta, k, n, depth)
-            tot = tot + weights[k] * sv.expectation(psi, *hargs)
-        return tot
+            def make(k):
+                @jax.jit
+                def efn(theta):
+                    psi = hea_state(theta, k, n, depth)
+                    return sv.expectation(psi, *hargs)
+                return efn
+            energies_fns.append(make(k))
 
-    grad_total = jax.jit(jax.grad(total))
+        @jax.jit
+        def total(theta):
+            tot = 0.0
+            for k in range(n_states):
+                psi = hea_state(theta, k, n, depth)
+                tot = tot + weights[k] * sv.expectation(psi, *hargs)
+            return tot
+
+        grad_total = jax.jit(jax.grad(total))
 
     exact_vals, exact_vecs = (None, None)
     if track_fidelity:
@@ -149,7 +228,11 @@ def run_wssvqe(model: PauliSum, n_states: int, depth: int,
             e = float(energies_fns[i](theta))
             energy_lists[f"energy_circ_{i}"].append(e)
             if track_fidelity:
-                psi = sv.to_host(hea_state(theta, i, n, depth))
+                if state_fns is not None:
+                    planes = np.asarray(state_fns[i](theta))
+                    psi = planes[0] + 1j * planes[1]
+                else:
+                    psi = sv.to_host(hea_state(theta, i, n, depth))
                 ov = np.vdot(exact_vecs[i], psi)
                 fidelity_lists[f"fidelity_circ_{i}"].append(
                     float(np.abs(ov) ** 2))
@@ -201,4 +284,10 @@ class WSSVQE:
     def execute(self) -> Dict:
         model = self.build_model()
         self.nqbits = model.nbqbits
-        return run_wssvqe(model, self.n_states, self.depth, **self.opts)
+        opts = dict(self.opts)
+        mesh = opts.pop("mesh", None)
+        nd = opts.pop("mesh_devices", None)
+        if mesh is None and nd:
+            from ..parallel.sharded import make_mesh
+            mesh = make_mesh(int(nd))
+        return run_wssvqe(model, self.n_states, self.depth, mesh=mesh, **opts)

@@ -74,15 +74,21 @@ def sharded_hf_state(n: int, hf_init: int, mesh: Mesh):
 def _dyn_ppermute(block, x_hi, d: int):
     """block moved from device (coord ^ x_hi) — x_hi a TRACED mask: d masked
     pairwise exchanges (ppermute patterns must be static; the selects are
-    not).  Identity when x_hi == 0 (data still rides the wire; the win is
-    that the whole group scan stays one executable)."""
+    not).  x_hi == 0 groups skip the wire entirely: the exchanges sit under
+    a ``lax.cond`` whose predicate is replicated across the mesh (every
+    device scans the same group arrays), so local groups cost zero
+    collectives while the whole group scan stays ONE executable."""
     n_dev = 1 << d
-    for b in range(d):
-        perm = [(i, i ^ (1 << b)) for i in range(n_dev)]
-        swapped = jax.lax.ppermute(block, AXIS, perm)
-        bit = ((x_hi >> b) & 1).astype(bool)
-        block = jnp.where(bit, swapped, block)
-    return block
+
+    def exchange(blk):
+        for b in range(d):
+            perm = [(i, i ^ (1 << b)) for i in range(n_dev)]
+            swapped = jax.lax.ppermute(blk, AXIS, perm)
+            bit = ((x_hi >> b) & 1).astype(bool)
+            blk = jnp.where(bit, swapped, blk)
+        return blk
+
+    return jax.lax.cond(x_hi > 0, exchange, lambda blk: blk, block)
 
 
 def _coord_signs(z_hi, coord, dtype):

@@ -177,3 +177,63 @@ def test_14q_beh2_sharded_matches_single():
     e_m, g_m = bound_m.energy_and_grad(theta)
     assert abs(e_1 - e_m) < 1e-10
     assert np.max(np.abs(g_1 - g_m)) < 1e-9
+
+
+def test_wssvqe_on_mesh_matches_single():
+    """WSSVQE's gate-level ansatz (RY/RZ/CNOT — parallel/sharded_gates) on
+    the mesh: total objective, gradient, per-state energies, and states all
+    match the single-device path (VERDICT r2 item 8)."""
+    from openvqe_tpu.algorithms import wssvqe as wv
+    from openvqe_tpu.parallel import sharded_gates  # noqa: F401
+
+    model = wv.ising(5)
+    n, depth, n_states = 5, 2, 2
+    weights = [2.0, 1.0]
+    mesh = sh.make_mesh(4)
+    total, grad_total, efns, sfns = wv._build_sharded_wssvqe(
+        model, n, depth, n_states, weights, mesh)
+
+    from openvqe_tpu.sim.compile import compile_pauli_sum as cps
+    hargs = sv.as_device(cps(model, n))
+    rng = np.random.default_rng(5)
+    theta = jnp.asarray(rng.normal(scale=0.2,
+                                   size=wv.n_parameters(n, depth)))
+
+    def ref_total(th):
+        tot = 0.0
+        for k in range(n_states):
+            psi = wv.hea_state(th, k, n, depth)
+            tot = tot + weights[k] * sv.expectation(psi, *hargs)
+        return tot
+
+    assert np.isclose(float(total(theta)), float(ref_total(theta)),
+                      atol=1e-10)
+    g_sh = np.asarray(grad_total(theta))
+    g_ref = np.asarray(jax.grad(ref_total)(theta))
+    np.testing.assert_allclose(g_sh, g_ref, rtol=1e-8, atol=1e-10)
+    for k in range(n_states):
+        e_ref = float(sv.expectation(wv.hea_state(theta, k, n, depth),
+                                     *hargs))
+        assert np.isclose(float(efns[k](theta)), e_ref, atol=1e-10)
+        psi_sh = np.asarray(sfns[k](theta))
+        psi_ref = np.asarray(wv.hea_state(theta, k, n, depth))
+        np.testing.assert_allclose(psi_sh, psi_ref, atol=1e-10)
+
+
+def test_wssvqe_run_on_mesh():
+    """End-to-end run_wssvqe over the mesh reproduces the single-device
+    optimization bit-for-bit in trajectory terms (reference
+    get_energy_WSSVQE.py:151-178): same final energies to 1e-9."""
+    from openvqe_tpu.algorithms import wssvqe as wv
+
+    model = wv.ising(4)
+    ref = wv.run_wssvqe(model, n_states=2, depth=3, maxiter=300, seed=1,
+                        track_fidelity=False)
+    mesh = sh.make_mesh(2)
+    out = wv.run_wssvqe(model, n_states=2, depth=3, maxiter=300, seed=1,
+                        mesh=mesh)
+    for e_mesh, e_single in zip(out["final_energies"],
+                                ref["final_energies"]):
+        assert abs(e_mesh - e_single) < 1e-9, (e_mesh, e_single)
+    # fidelity recorded through the sharded state gather stays meaningful
+    assert out["fidelity_lists"]["fidelity_circ_0"][-1] > 0.5
