@@ -92,7 +92,11 @@ def _objective_and_screen(hamiltonian_sp: PauliSum, n: int, pool_ops, mesh):
     the ADAPT loops are mesh-agnostic (SURVEY.md §2.2 scaling axis)."""
     if mesh is not None:
         from ..parallel import sharded as sh
-        objective = sh.ShardedVQEObjective(hamiltonian_sp, mesh, n)
+        from ..parallel import sharded_stream as shs
+        objective = shs.make_sharded_objective(hamiltonian_sp, mesh, n)
+        if isinstance(objective, shs.ShardedStreamObjective):
+            return objective, shs.build_sharded_stream_pool_gradient_fn(
+                pool_ops, objective)
         return objective, sh.build_sharded_pool_gradient_fn(pool_ops,
                                                             objective)
     objective = VQEObjective(hamiltonian_sp, n)

@@ -26,8 +26,10 @@ from ..utils.gate_count import staircase_gate_counts
 
 def _objective(hamiltonian_sp: PauliSum, mesh=None):
     if mesh is not None:
-        from ..parallel.sharded import ShardedVQEObjective
-        return ShardedVQEObjective(hamiltonian_sp, mesh)
+        # streaming kernels when the per-device state outgrows VMEM,
+        # XLA grouped sharded engine otherwise (parallel/sharded_stream.py)
+        from ..parallel.sharded_stream import make_sharded_objective
+        return make_sharded_objective(hamiltonian_sp, mesh)
     return VQEObjective(hamiltonian_sp)
 
 

@@ -816,10 +816,16 @@ HAM_BUCKET_CAP = 16       # groups per bucket (padded; inert groups skipped)
 
 
 def build_ham_buckets(gham, gcap: int = HAM_BUCKET_CAP,
-                      chunk_bits: int = CHUNK_BITS):
+                      chunk_bits: int = CHUNK_BITS,
+                      z_extra: Optional[np.ndarray] = None):
     """Bucket the off-diagonal Hamiltonian groups by x_huge.  Returns
     (prefetch..., streamed...) arrays with a bucket axis: scalars
-    (B,)/(B, gcap) and blocks (B, gcap, K, 1)/(B, gcap, 1, K)."""
+    (B,)/(B, gcap) and blocks (B, gcap, K, 1)/(B, gcap, 1, K).
+
+    ``z_extra`` (G, Ke) int32 rows ride the same bucketing and are appended
+    as a (B, gcap, K, 1) trailing element — the sharded engine passes the
+    device-part z masks through so per-device coordinate signs can be
+    folded into the coefficients (parallel/sharded_stream.py)."""
     sd = stream_ham_data(gham)
     if sd.G == 0:
         return None
@@ -848,6 +854,11 @@ def build_ham_buckets(gham, gcap: int = HAM_BUCKET_CAP,
     bcre = np.zeros((B, gcap, K, 1), np.float32)
     bcim = np.zeros((B, gcap, K, 1), np.float32)
     cim = sd.cim if sd.cim is not None else np.zeros_like(sd.cre)
+    bze = None
+    if z_extra is not None:
+        ze = np.zeros((sd.G, K), np.int32)
+        ze[:, : z_extra.shape[1]] = z_extra
+        bze = np.zeros((B, gcap, K, 1), np.int32)
     for b, idx in enumerate(buckets):
         g0 = idx[0]
         bxh[b] = sd.x_huge[g0]
@@ -862,7 +873,10 @@ def build_ham_buckets(gham, gcap: int = HAM_BUCKET_CAP,
         bzc[b, :m] = sd.z_c[idx]
         bcre[b, :m] = sd.cre[idx]
         bcim[b, :m] = cim[idx]
-    return (bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr, bzc, bcre, bcim)
+        if bze is not None:
+            bze[b, :m] = ze[idx][:, :, None]
+    base = (bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr, bzc, bcre, bcim)
+    return base if bze is None else base + (bze,)
 
 
 def _ham_bucket_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
