@@ -310,3 +310,91 @@ def test_adjoint_parity(data):
                                rtol=0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(grad), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_rotation_parity(data):
+    """Residency-fused rotation sweep (one state pass per equal-x_huge run)
+    == the XLA grouped path, including forced tiny buckets."""
+    x, z, coef, op, theta, psi = data
+    ref = gr.apply_grouped_ops(jnp.asarray(psi), jnp.asarray(theta),
+                               jnp.asarray(x), jnp.asarray(z),
+                               jnp.asarray(coef), jnp.asarray(op))
+    sd = st.build_stream_data(N, x, z, coef, op=op)
+    for gcap in (2, st.ROT_BUCKET_CAP):
+        bargs = st.build_seq_buckets(sd, gcap=gcap)
+        out = st.apply_grouped_ops_fused(psi, theta, *bargs, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=0, atol=1e-6)
+
+
+def test_fused_adjoint_parity(data):
+    """Residency-fused adjoint (pairs resident across a reversed run,
+    in-place staging, per-slot gradient rows) == the XLA grouped adjoint."""
+    x, z, coef, op, theta, psi = data
+    rng = np.random.default_rng(21)
+    lam = _random_state(rng, N)
+    grad0 = jnp.zeros(3, jnp.float32)
+    p_ref, l_ref, g_ref = gr.grouped_adjoint_sweep(
+        jnp.asarray(theta), jnp.asarray(psi), jnp.asarray(lam), grad0,
+        jnp.asarray(x), jnp.asarray(z), jnp.asarray(coef), jnp.asarray(op))
+
+    sd = st.build_stream_data(N, x, z, coef, op=op)
+    rev = slice(None, None, -1)
+    sd_rev = st.StreamGroupData(
+        n=sd.n, T=sd.T, C=sd.C, x_lane=sd.x_lane[rev], x_mid=sd.x_mid[rev],
+        x_chunk=sd.x_chunk[rev], x_huge=sd.x_huge[rev], mb=sd.mb[rev],
+        n_outer=sd.n_outer[rev], z_r=sd.z_r[rev], z_c=sd.z_c[rev],
+        cre=sd.cre[rev], cim=None, op=sd.op[rev])
+    for gcap in (2, st.ROT_BUCKET_CAP):
+        bargs = st.build_seq_buckets(sd_rev, gcap=gcap)
+        p_out, l_out, gts = st.adjoint_sweep_fused(
+            psi, lam, jnp.asarray(theta), *bargs, interpret=True)
+        bop, bact = bargs[3], bargs[7]
+        grad = np.zeros(3)
+        np.add.at(grad, bop.reshape(-1),
+                  (np.asarray(gts) * bact).reshape(-1))
+        np.testing.assert_allclose(np.asarray(p_out), np.asarray(p_ref),
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(l_out), np.asarray(l_ref),
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(grad, np.asarray(g_ref), rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_pool_bucketed_parity(data):
+    """x_huge-bucketed pool screen (one sig/psi pass per bucket, per-slot
+    overlap rows) == the per-group reference."""
+    x, z, coef, op, theta, psi = data
+    rng = np.random.default_rng(22)
+    cim = rng.normal(size=coef.shape).astype(np.float32) * 0.1
+    sigma = _random_state(rng, N)
+    n_ops = 3
+
+    sd = st.build_stream_data(N, x, z, coef, coef_im=cim, op=op)
+    vre_ref = np.zeros(n_ops)
+    vim_ref = np.zeros(n_ops)
+    for g in range(len(x)):
+        px = np.asarray(gr.xor_perm(jnp.asarray(psi), jnp.int32(x[g])))
+        w_re = np.asarray(gr._sign_field(jnp.asarray(z[g]),
+                                         jnp.asarray(coef[g]),
+                                         N)).reshape(-1)
+        w_im = np.asarray(gr._sign_field(jnp.asarray(z[g]),
+                                         jnp.asarray(cim[g]), N)).reshape(-1)
+        zr_ = w_re * px[0] - w_im * px[1]
+        zi_ = w_re * px[1] + w_im * px[0]
+        vre_ref[op[g]] += float(np.sum(sigma[0] * zr_ + sigma[1] * zi_))
+        vim_ref[op[g]] += float(np.sum(sigma[0] * zi_ - sigma[1] * zr_))
+
+    for gcap in (2, st.HAM_BUCKET_CAP):
+        bargs = st.build_pool_buckets(sd, gcap=gcap)
+        slot_group = bargs[-1]
+        rows = np.asarray(st.pool_overlap_bucketed(sigma, psi, *bargs[:-1],
+                                                   interpret=True))
+        vre = np.zeros(n_ops)
+        vim = np.zeros(n_ops)
+        live = slot_group >= 0
+        ops_of_slot = np.where(live, op[np.clip(slot_group, 0, None)], 0)
+        np.add.at(vre, ops_of_slot[live], rows[:, :, 0][live])
+        np.add.at(vim, ops_of_slot[live], rows[:, :, 1][live])
+        np.testing.assert_allclose(vre, vre_ref, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(vim, vim_ref, rtol=1e-4, atol=1e-5)
