@@ -172,8 +172,118 @@ def bench(n, G, K=8):
           flush=True)
 
 
+def bench_fused(n, G, K=8, run_len=14):
+    """Fused-residency kernels on an equal-x_huge RUN workload (run_len=14
+    matches the measured fusion factor of real UCCSD sequences at 20-24q:
+    H10 875 groups -> 62 buckets, H12 1818 -> 132)."""
+    rng = np.random.default_rng(2)
+    lift = st.TILE_BITS + st.CHUNK_BITS
+    span = (1 << (n - lift)) - 1
+    huge = rng.integers(0, span + 1, size=G // run_len + 1)
+    x = ((huge[np.arange(G) // run_len] << lift)
+         | rng.integers(1, 1 << lift, size=G)).astype(np.int64)
+    z = rng.integers(0, 1 << n, size=(G, K)).astype(np.int64)
+    coef = (rng.normal(size=(G, K)) * 0.1).astype(np.float32)
+    op = (np.arange(G) % 64).astype(np.int32)
+    theta = (rng.normal(size=64) * 0.1).astype(np.float32)
+    psi = rng.normal(size=(2, 1 << n)).astype(np.float32)
+    psi /= np.linalg.norm(psi)
+    psi_d = jnp.asarray(psi)
+
+    sdF = st.build_stream_data(n, x, z, coef, op=op,
+                               chunk_bits=st.FUSED_CHUNK_BITS)
+    fb = st.build_seq_buckets(sdF)
+    B = len(fb[0])
+    print(f"fused workload n={n} G={G}: {B} buckets "
+          f"({G/B:.1f}x fusion)", flush=True)
+
+    rotf = jax.jit(lambda p, th: st.apply_grouped_ops_fused(p, th, *fb))
+    sd = st.build_stream_data(n, x, z, coef, op=op)
+    out = rotf(psi_d, theta)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    out = rotf(out, theta)
+    _ = float(jnp.sum(out))        # force completion past aliasing
+    dt = time.time() - t0
+    print(f"FUSED rot n={n} G={G}: {dt:.3f}s = {1e3 * dt / G:.3f} ms/group",
+          flush=True)
+
+    sargs = st.seq_stream_args(sd)
+    rot = jax.jit(lambda p, th: st.apply_grouped_ops_stream(p, th, *sargs))
+    out2 = rot(psi_d, theta)
+    jax.block_until_ready(out2)
+    t0 = time.time()
+    out2 = rot(out2, theta)
+    _ = float(jnp.sum(out2))
+    dt2 = time.time() - t0
+    print(f"pergrp rot n={n} G={G}: {dt2:.3f}s = {1e3 * dt2 / G:.3f} "
+          f"ms/group -> fused speedup {dt2 / dt:.2f}x", flush=True)
+
+    # fused adjoint (full-size chunks) vs per-group (half-size chunks)
+    lam = jnp.asarray(psi)
+    ab = st.build_seq_buckets(st._reverse_sd(sdF))
+    adjf = jax.jit(lambda p, l, th: st.adjoint_sweep_fused(p, l, th, *ab))
+    r = adjf(psi_d, lam, theta)
+    jax.block_until_ready(r[2])
+    t0 = time.time()
+    r = adjf(psi_d, lam, theta)
+    _ = float(jnp.sum(r[2])) + float(jnp.sum(r[0]))
+    dt3 = time.time() - t0
+    print(f"FUSED adj n={n} G={G}: {dt3:.3f}s = {1e3 * dt3 / G:.3f} "
+          f"ms/group", flush=True)
+
+    rev = slice(None, None, -1)
+    sd_adj = st.build_stream_data(n, x, z, coef, op=op,
+                                  chunk_bits=st.ADJ_CHUNK_BITS)
+    angles = -theta[sd_adj.op[rev]]
+    adj = jax.jit(lambda p, l: st.adjoint_sweep_stream(
+        p, l, sd_adj.x_huge[rev], sd_adj.mb[rev], sd_adj.n_outer[rev],
+        sd_adj.x_chunk[rev], sd_adj.x_mid[rev], sd_adj.x_lane[rev], angles,
+        sd_adj.z_r[rev], sd_adj.z_c[rev], sd_adj.cre[rev]))
+    r2 = adj(psi_d, lam)
+    jax.block_until_ready(r2[2])
+    t0 = time.time()
+    r2 = adj(psi_d, lam)
+    _ = float(jnp.sum(r2[2])) + float(jnp.sum(r2[0]))
+    dt4 = time.time() - t0
+    print(f"pergrp adj n={n} G={G}: {dt4:.3f}s = {1e3 * dt4 / G:.3f} "
+          f"ms/group -> fused speedup {dt4 / dt3:.2f}x", flush=True)
+
+    # bucketed pool screen vs per-group
+    cim = (rng.normal(size=(G, K)) * 0.1).astype(np.float32)
+    sdp = st.build_stream_data(n, x, z, coef, coef_im=cim, op=op)
+    pb = st.build_pool_buckets(st.build_stream_data(
+        n, x, z, coef, coef_im=cim, op=op,
+        chunk_bits=st.FUSED_CHUNK_BITS))
+    sig = jnp.asarray(psi)
+    poolf = jax.jit(lambda s_, p_: st.pool_overlap_bucketed(s_, p_,
+                                                            *pb[:-1]))
+    rowsf = poolf(sig, psi_d)
+    jax.block_until_ready(rowsf)
+    t0 = time.time()
+    rowsf = poolf(sig, psi_d)
+    jax.block_until_ready(rowsf)
+    dt5 = time.time() - t0
+    print(f"FUSED pool n={n} G={G}: {dt5:.3f}s = {1e3 * dt5 / G:.3f} "
+          f"ms/group", flush=True)
+
+    pargs = st.ham_stream_args(sdp)
+    pool = jax.jit(lambda s_, p_: st.pool_overlap_stream(
+        s_, p_, pargs[0], pargs[1], pargs[2], pargs[3], pargs[4], pargs[5],
+        pargs[6], pargs[7], pargs[8], pargs[9]))
+    rows = pool(sig, psi_d)
+    jax.block_until_ready(rows)
+    t0 = time.time()
+    rows = pool(sig, psi_d)
+    jax.block_until_ready(rows)
+    dt6 = time.time() - t0
+    print(f"pergrp pool n={n} G={G}: {dt6:.3f}s = {1e3 * dt6 / G:.3f} "
+          f"ms/group -> fused speedup {dt6 / dt5:.2f}x", flush=True)
+
+
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     G = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     parity()
     bench(n, G)
+    bench_fused(n, G)

@@ -1,0 +1,164 @@
+"""Native Li2FeSiO4 contextual-subspace derivation (VERDICT r2 item 6).
+
+End-to-end reproduction of the reference's ``contextual_subspace.ipynb``
+chain (cells 3-36) on this framework's OWN chemistry stack — no pyscf /
+tangelo / symmer:
+
+  CIF (fractional) -> cartesian unit cell -> STO-3G shells (d shells on
+  Fe via chem/basis + the regenerated 3d/4sp rows) -> RHF -> MO integrals
+  -> HOMO-n..LUMO+n active space (8 MOs / 16 qubits at n=3, the
+  notebook's choice) -> JW -> Z2 tapering (ops/tapering) -> contextual
+  subspace projection (ops/contextual) per qubit count.
+
+Parity notes (documented in PARITY.md): the reference ran pyscf RHF with
+SPHERICAL d functions and published molecular STO-3G scale factors; this
+stack uses CARTESIAN d shells (one extra s-contaminant function per d
+shell — a strictly larger variational space) and best-atom zetas for
+Fe/Si (chem/basis.py provenance), and ops/contextual uses the
+stabilizer-projection strategy without symmer's LCU unitary
+partitioning.  The derived CS Hamiltonians are therefore the same
+construction but not bitwise the shipped ``cs_hams.json``; ``compare()``
+reports both spectra side by side.
+
+Run:  python -m openvqe_tpu.apps.quantum_batteries.li2fesio4 [n_homo_lumo]
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+_CIF = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "Li2FeSiO4.cif")
+
+
+def fractional_to_cartesian_matrix(a, b, c, alpha, beta, gamma):
+    """Lattice matrix (reference notebook cell 3)."""
+    alpha, beta, gamma = np.radians([alpha, beta, gamma])
+    la = np.array([a, 0, 0])
+    lb = np.array([b * np.cos(gamma), b * np.sin(gamma), 0])
+    n2 = (np.cos(alpha) - np.cos(beta) * np.cos(gamma)) / np.sin(gamma)
+    lc = c * np.array([
+        np.cos(beta), n2,
+        np.sqrt(1 - np.cos(alpha) ** 2 - np.cos(beta) ** 2
+                - np.cos(gamma) ** 2
+                + 2 * np.cos(alpha) * np.cos(beta) * np.cos(gamma))
+        / np.sin(gamma)])
+    return np.array([la, lb, lc]).T
+
+
+def load_geometry(cif_path: str = _CIF) -> List[Tuple[str, Tuple[float, ...]]]:
+    """Unit-cell geometry in cartesian Angstrom (notebook cells 5-8: last
+    16 CIF lines are the atom sites, lines 3-8 the lattice constants)."""
+    with open(cif_path) as f:
+        data = f.readlines()
+    lattice = [float(line.strip().split()[1]) for line in data[3:9]]
+    M = fractional_to_cartesian_matrix(*lattice)
+    geometry = []
+    for line in data[-16:]:
+        res = line.strip().split()
+        atom = res[0][:-1]
+        if atom != "Li":
+            atom = atom[:-1]
+        frac = np.array([float(res[3]), float(res[4]), float(res[5])])
+        geometry.append((atom, tuple(M @ frac)))
+    return geometry
+
+
+def build_active_hamiltonian(n_homo_lumo: int = 3, conv: float = 1e-5,
+                             verbose: bool = True):
+    """RHF on the full unit cell, then the HOMO-n..LUMO+n active space
+    (notebook cells 11-14: frozen_core + get_orbitals_excluding_homo_lumo
+    compose to exactly this index-based freeze).  Returns
+    (ElectronicStructureHamiltonian, n_active_electrons, hf_info dict)."""
+    from ... import native
+    from ...chem.basis import build_shells
+    from ...chem.integrals import (electron_repulsion, nuclear_attraction,
+                                   nuclear_repulsion, overlap_kinetic)
+    from ...chem.scf import mo_integrals, rhf
+    from ...ops.hamiltonian import freeze_orbitals
+
+    geometry = load_geometry()
+    shells, charges, coords = build_shells(geometry, "sto-3g")
+    n_elec = int(sum(charges))
+    if verbose:
+        from ...chem.basis import nbasis
+        print(f"Li2FeSiO4 cell: {len(geometry)} atoms, {n_elec} electrons, "
+              f"{nbasis(shells)} cartesian basis functions", flush=True)
+    if native.available():
+        S, T, V = native.one_electron(shells, charges, coords)
+        eri = native.eri(shells)
+    else:
+        S, T = overlap_kinetic(shells)
+        V = nuclear_attraction(shells, charges, coords)
+        eri = electron_repulsion(shells)
+    e_nuc = nuclear_repulsion(charges, coords)
+    hf = rhf(S, T + V, eri, n_elec, e_nuc, max_iter=600, conv=conv)
+    if verbose:
+        print(f"RHF: E = {hf.energy:.6f} Ha, converged = {hf.converged} "
+              f"({hf.n_iter} iterations)", flush=True)
+    h1, g_phys = mo_integrals(T + V, eri, hf.mo_coeff)
+    del eri
+
+    n_occ = n_elec // 2
+    active = list(range(n_occ - (n_homo_lumo + 1),
+                        n_occ + (n_homo_lumo + 1)))
+    frozen_occ = [i for i in range(n_occ) if i not in active]
+    ham = freeze_orbitals(h1, g_phys, frozen_occ, active, e_nuc)
+    n_active_elec = 2 * (n_homo_lumo + 1)
+    info = {"E_HF": float(hf.energy), "converged": bool(hf.converged),
+            "n_active_mos": len(active), "n_active_electrons": n_active_elec,
+            "mo_energies_active": [float(hf.mo_energy[i]) for i in active]}
+    return ham, n_active_elec, info
+
+
+def derive_cs_hamiltonians(n_homo_lumo: int = 3,
+                           qubit_targets: Sequence[int] = (2, 3, 4, 5, 6, 7,
+                                                           8),
+                           verbose: bool = True):
+    """The full native chain -> {n_qubits: PauliSum} + metadata."""
+    from .derive_contextual_subspace import derive_native
+
+    ham, n_active_elec, info = build_active_hamiltonian(n_homo_lumo,
+                                                        verbose=verbose)
+    hsp = ham.to_spin("JW")
+    n_q = hsp.nbqbits
+    ref_bits = [1 if q < n_active_elec else 0 for q in range(n_q)]
+    hams = derive_native(hsp, ref_bits, qubit_targets)
+    if verbose:
+        print(f"active-space Hamiltonian: {n_q} qubits, {len(hsp)} terms; "
+              f"CS sizes: {sorted(hams)}", flush=True)
+    return hams, hsp, info
+
+
+def compare(n_homo_lumo: int = 3, qubit_targets=(2, 3, 4, 5, 6, 7, 8)):
+    """Derived-vs-shipped ground energies per qubit count.  The shipped
+    cs_hams.json came from the reference's pyscf/symmer chain; deltas
+    reflect the documented basis-convention gaps (module docstring)."""
+    import json
+
+    from .utils import load_cs_hams
+
+    hams, hsp, info = derive_cs_hamiltonians(n_homo_lumo, qubit_targets)
+    shipped = load_cs_hams()
+    rows = []
+    for q in sorted(hams):
+        e_native = float(np.linalg.eigvalsh(hams[q].to_matrix())[0])
+        row = {"qubits": int(q), "E0_native": e_native}
+        if q in shipped:
+            ship = shipped[q][0]
+            e_ship = float(np.linalg.eigvalsh(ship.to_matrix())[0])
+            row["E0_shipped"] = e_ship
+            row["delta"] = e_native - e_ship
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    return {"info": info, "rows": rows}
+
+
+if __name__ == "__main__":
+    import sys
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    compare(n)

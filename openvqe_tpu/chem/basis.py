@@ -36,6 +36,20 @@ _STO3G_3SP_EXP = np.array([0.4828540806, 0.1347150629, 0.0527272798])
 _STO3G_3S_COEF = np.array([-0.219620369, 0.225595434, 0.900398426])
 _STO3G_3P_COEF = np.array([0.010587604, 0.595167005, 0.462001012])
 
+# Universal zeta=1 expansions for the 3d and 4sp shells (least-squares
+# max-overlap 3-Gaussian fits of the radial Slater functions R_32 /
+# R_4{0,1}, the same construction as the published 1s/2sp/3sp rows above;
+# REGENERATED with chem/fit_sto3g.py since the Basis Set Exchange is
+# unreachable offline — the same fit reproduces the published 1s/2sp/3sp
+# rows to ~1e-6, which pins the procedure
+# (tests/test_chem_dshell.py::test_fit_reproduces_published_rows).
+_STO3G_3D_EXP = np.array([0.52291114, 0.16395956, 0.06386630])
+_STO3G_3D_COEF = np.array([0.16865965, 0.58479851, 0.40567787])
+
+_STO3G_4SP_EXP = np.array([0.24645608, 0.09095846, 0.04016817])
+_STO3G_4S_COEF = np.array([-0.30884798, 0.01961530, 1.13102960])
+_STO3G_4P_COEF = np.array([-0.12154783, 0.57152644, 0.54989242])
+
 # Slater exponents ζ per element and shell (standard molecular values used
 # by the published STO-3G tables).
 _STO3G_ZETA: Dict[str, Tuple[float, ...]] = {
@@ -53,14 +67,69 @@ _STO3G_ZETA: Dict[str, Tuple[float, ...]] = {
     "Cl": (16.43, 6.26, 2.10),
 }
 
+# Third-row / transition-metal zetas: the published molecular scale
+# factors are unrecoverable offline, so these are BEST-ATOM exponents —
+# atomic ROHF ground-term energy minimized over the shell zetas with this
+# package's own integrals/SCF (chem/fit_sto3g.py optimize_zetas), the
+# construction underlying the atomic part of the published tables.
+# Provenance and the resulting atomic energies are pinned in
+# tests/test_chem_dshell.py; PARITY.md documents the delta vs the
+# (unavailable) published molecular factors.
+_STO3G_ZETA_BEST_ATOM: Dict[str, Dict[str, float]] = {
+    # filled by `python -m openvqe_tpu.chem.fit_sto3g <El> <z0...>` runs
+    # (values below are those runs' outputs, committed as data)
+    "Si": {"1s": 13.6521, "2sp": 4.8534, "3sp": 1.5308},
+    "Fe": {"1s": 25.4925, "2sp": 10.6903, "3sp": 4.2811, "3d": 3.2550,
+           "4sp": 1.1889},
+}
+
+
+def _sto3g_shell_plan(symbol: str):
+    """[(l, universal_exps, universal_coefs, zeta_slot)] for one element —
+    the zeta-independent STO-3G structure.  zeta_slot indexes the zeta
+    vector handed to fit_sto3g.atomic_energy."""
+    symbol = symbol.capitalize()
+    if symbol in _STO3G_ZETA_BEST_ATOM:
+        keys = list(_STO3G_ZETA_BEST_ATOM[symbol])
+        plan = [(0, _STO3G_1S_EXP, _STO3G_1S_COEF, keys.index("1s")),
+                (0, _STO3G_2SP_EXP, _STO3G_2S_COEF, keys.index("2sp")),
+                (1, _STO3G_2SP_EXP, _STO3G_2P_COEF, keys.index("2sp")),
+                (0, _STO3G_3SP_EXP, _STO3G_3S_COEF, keys.index("3sp")),
+                (1, _STO3G_3SP_EXP, _STO3G_3P_COEF, keys.index("3sp"))]
+        if "3d" in keys:
+            plan.append((2, _STO3G_3D_EXP, _STO3G_3D_COEF,
+                         keys.index("3d")))
+        if "4sp" in keys:
+            plan.append((0, _STO3G_4SP_EXP, _STO3G_4S_COEF,
+                         keys.index("4sp")))
+            plan.append((1, _STO3G_4SP_EXP, _STO3G_4P_COEF,
+                         keys.index("4sp")))
+        return plan
+    zetas = _STO3G_ZETA[symbol]
+    plan = [(0, _STO3G_1S_EXP, _STO3G_1S_COEF, 0)]
+    if len(zetas) > 1:
+        plan += [(0, _STO3G_2SP_EXP, _STO3G_2S_COEF, 1),
+                 (1, _STO3G_2SP_EXP, _STO3G_2P_COEF, 1)]
+    if len(zetas) > 2:
+        plan += [(0, _STO3G_3SP_EXP, _STO3G_3S_COEF, 2),
+                 (1, _STO3G_3SP_EXP, _STO3G_3P_COEF, 2)]
+    return plan
+
 ATOMIC_NUMBER: Dict[str, int] = {
     "H": 1, "He": 2, "Li": 3, "Be": 4, "B": 5, "C": 6, "N": 7, "O": 8,
     "F": 9, "Ne": 10, "Na": 11, "Mg": 12, "Al": 13, "Si": 14, "P": 15,
-    "S": 16, "Cl": 17, "Ar": 18,
+    "S": 16, "Cl": 17, "Ar": 18, "K": 19, "Ca": 20, "Sc": 21, "Ti": 22,
+    "V": 23, "Cr": 24, "Mn": 25, "Fe": 26, "Co": 27, "Ni": 28, "Cu": 29,
+    "Zn": 30,
 }
 
 _631G: Dict[str, List[Tuple[int, List[float], List[float]]]] = {
     # (angular momentum, exponents, contraction coefficients)
+    # H/He from the Basis Set Exchange tables; Li-F from the published
+    # Hehre-Ditchfield-Pople 6-31G tables (validated offline against
+    # ground-term atomic ROHF windows bracketed by the Hartree-Fock limits
+    # and variational ordering vs STO-3G — tests/test_chem_631g.py; exact
+    # pyscf oracles are unreachable in this image, documented in PARITY.md)
     "H": [
         (0, [18.7311370, 2.8253937, 0.6401217],
             [0.03349460, 0.23472695, 0.81375733]),
@@ -70,6 +139,90 @@ _631G: Dict[str, List[Tuple[int, List[float], List[float]]]] = {
         (0, [38.4216340, 5.7780300, 1.2417740],
             [0.0237660, 0.1546790, 0.4696300]),
         (0, [0.2979640], [1.0]),
+    ],
+    "Li": [
+        (0, [642.41892, 96.798515, 22.091121, 6.2010703, 1.9351177,
+             0.6367358],
+            [0.0021426, 0.0162089, 0.0773156, 0.2457860, 0.4701890,
+             0.3454708]),
+        (0, [2.3249184, 0.6324306, 0.0790534],
+            [-0.0350917, -0.1912328, 1.0839878]),
+        (1, [2.3249184, 0.6324306, 0.0790534],
+            [0.0089415, 0.1410095, 0.9453637]),
+        (0, [0.0359620], [1.0]),
+        (1, [0.0359620], [1.0]),
+    ],
+    "Be": [
+        (0, [1264.5857, 189.93681, 43.159089, 12.098663, 3.8063232,
+             1.2728903],
+            [0.0019448, 0.0148351, 0.0720906, 0.2371542, 0.4691987,
+             0.3565202]),
+        (0, [3.1964631, 0.7478133, 0.2199663],
+            [-0.1126487, -0.2295064, 1.1869167]),
+        (1, [3.1964631, 0.7478133, 0.2199663],
+            [0.0559802, 0.2615506, 0.7939723]),
+        (0, [0.0823099], [1.0]),
+        (1, [0.0823099], [1.0]),
+    ],
+    "B": [
+        (0, [2068.8823, 310.64957, 70.683033, 19.861080, 6.2993048,
+             2.1270270],
+            [0.0018663, 0.0142515, 0.0695516, 0.2325729, 0.4670787,
+             0.3634314]),
+        (0, [4.7279710, 1.1903377, 0.3594117],
+            [-0.1303938, -0.1307889, 1.1309444]),
+        (1, [4.7279710, 1.1903377, 0.3594117],
+            [0.0745976, 0.3078467, 0.7434568]),
+        (0, [0.1267512], [1.0]),
+        (1, [0.1267512], [1.0]),
+    ],
+    "C": [
+        (0, [3047.5249, 457.36951, 103.94869, 29.210155, 9.2866630,
+             3.1639270],
+            [0.0018347, 0.0140373, 0.0688426, 0.2321844, 0.4679413,
+             0.3623120]),
+        (0, [7.8682724, 1.8812885, 0.5442493],
+            [-0.1193324, -0.1608542, 1.1434564]),
+        (1, [7.8682724, 1.8812885, 0.5442493],
+            [0.0689991, 0.3164240, 0.7443083]),
+        (0, [0.1687144], [1.0]),
+        (1, [0.1687144], [1.0]),
+    ],
+    "N": [
+        (0, [4173.5110, 627.45790, 142.90210, 40.234330, 12.820210,
+             4.3904370],
+            [0.0018348, 0.0139950, 0.0685870, 0.2322410, 0.4690700,
+             0.3604550]),
+        (0, [11.626358, 2.7162800, 0.7722180],
+            [-0.1149610, -0.1691180, 1.1458520]),
+        (1, [11.626358, 2.7162800, 0.7722180],
+            [0.0675800, 0.3239070, 0.7408950]),
+        (0, [0.2120313], [1.0]),
+        (1, [0.2120313], [1.0]),
+    ],
+    "O": [
+        (0, [5484.6717, 825.23495, 188.04696, 52.964500, 16.897570,
+             5.7996353],
+            [0.0018311, 0.0139501, 0.0684451, 0.2327143, 0.4701930,
+             0.3585209]),
+        (0, [15.539616, 3.5999336, 1.0137618],
+            [-0.1107775, -0.1480263, 1.1307670]),
+        (1, [15.539616, 3.5999336, 1.0137618],
+            [0.0708743, 0.3397528, 0.7271586]),
+        (0, [0.2700058], [1.0]),
+        (1, [0.2700058], [1.0]),
+    ],
+    "F": [
+        (0, [7001.7131, 1051.3660, 239.28569, 67.397445, 21.519957,
+             7.4031013],
+            [0.0018196169, 0.0139160796, 0.0684053245, 0.2331857600,
+             0.4712674390, 0.3566185460]),
+        (0, [20.847952, 4.8083083, 1.3440699],
+            [-0.1085069750, -0.1464516580, 1.1286885800]),
+        (1, [20.847952, 4.8083083, 1.3440699],
+            [0.0716287243, 0.3459121030, 0.7224699570]),
+        (0, [0.3581514], [1.0]),
+        (1, [0.3581514], [1.0]),
     ],
 }
 
@@ -109,27 +262,39 @@ def element_shells(symbol: str, basis: str) -> List[Tuple[int, np.ndarray, np.nd
     symbol = symbol.capitalize()
     basis = basis.lower().replace("_", "-")
     if basis == "sto-3g":
-        if symbol not in _STO3G_ZETA:
+        if symbol in _STO3G_ZETA_BEST_ATOM:
+            zv = list(_STO3G_ZETA_BEST_ATOM[symbol].values())
+        elif symbol in _STO3G_ZETA:
+            zv = list(_STO3G_ZETA[symbol])
+        else:
             raise ValueError(f"no STO-3G data for {symbol}")
-        zetas = _STO3G_ZETA[symbol]
-        shells = [(0, _STO3G_1S_EXP * zetas[0] ** 2, _STO3G_1S_COEF.copy())]
-        if len(zetas) > 1:
-            z2 = zetas[1] ** 2
-            shells.append((0, _STO3G_2SP_EXP * z2, _STO3G_2S_COEF.copy()))
-            shells.append((1, _STO3G_2SP_EXP * z2, _STO3G_2P_COEF.copy()))
-        if len(zetas) > 2:
-            z3 = zetas[2] ** 2
-            shells.append((0, _STO3G_3SP_EXP * z3, _STO3G_3S_COEF.copy()))
-            shells.append((1, _STO3G_3SP_EXP * z3, _STO3G_3P_COEF.copy()))
-        return [(l, np.asarray(e), np.asarray(c)) for l, e, c in shells]
+        return [(l, np.asarray(exps) * zv[slot] ** 2, np.asarray(coefs))
+                for l, exps, coefs, slot in _sto3g_shell_plan(symbol)]
     if basis in ("6-31g", "631g"):
         if symbol not in _631G:
-            raise ValueError(f"no 6-31G data for {symbol} (only H, He embedded)")
+            raise ValueError(f"no 6-31G data for {symbol}")
         return [(l, np.asarray(e), np.asarray(c)) for l, e, c in _631G[symbol]]
     raise ValueError(f"unknown basis {basis!r}")
 
 
 ANGSTROM_TO_BOHR = 1.0 / 0.52917721092
+
+
+def _contracted_shell(l: int, exps, coefs, center, ia: int) -> Shell:
+    """Fold primitive norms into coefficients and normalize the contraction
+    to the FIRST cartesian component.  For d shells the other components
+    then have non-unit self-overlap (xy vs xx) — harmless: the SCF solves
+    the generalized eigenproblem in S, and the HF energy is invariant to
+    per-function rescaling."""
+    lmn0 = cartesian_components(l)[0]
+    c = np.asarray(coefs) * np.array([_norm_prim(a, lmn0) for a in exps])
+    from .integrals import primitive_overlap_same_center
+    s = 0.0
+    for i in range(len(exps)):
+        for j in range(len(exps)):
+            s += c[i] * c[j] * primitive_overlap_same_center(
+                exps[i], exps[j], lmn0)
+    return Shell(l, center, np.asarray(exps, float), c / np.sqrt(s), ia)
 
 
 def build_shells(geometry, basis: str, unit: str = "angstrom") -> Tuple[List[Shell], List[int], np.ndarray]:
@@ -150,19 +315,25 @@ def build_shells(geometry, basis: str, unit: str = "angstrom") -> Tuple[List[She
         charges.append(ATOMIC_NUMBER[sym])
         coords.append(center)
         for l, exps, coefs in element_shells(sym, basis):
-            # fold primitive norms into coefficients, then normalize the
-            # contraction (using the first cartesian component, which for
-            # s/p shells normalizes every component identically)
-            lmn0 = cartesian_components(l)[0]
-            c = coefs * np.array([_norm_prim(a, lmn0) for a in exps])
-            # self-overlap of the contracted function
-            from .integrals import primitive_overlap_same_center
-            s = 0.0
-            for i in range(len(exps)):
-                for j in range(len(exps)):
-                    s += c[i] * c[j] * primitive_overlap_same_center(exps[i], exps[j], lmn0)
-            c = c / np.sqrt(s)
-            shells.append(Shell(l, center, np.asarray(exps, float), c, ia))
+            shells.append(_contracted_shell(l, exps, coefs, center, ia))
+    return shells, charges, np.asarray(coords)
+
+
+def build_shells_from_defs(geometry, defs: Dict[str, List[Tuple]],
+                           unit: str = "angstrom"):
+    """build_shells with explicit per-element [(l, exps, coefs)] shell
+    definitions (zeta optimization, custom bases)."""
+    scale = ANGSTROM_TO_BOHR if unit.startswith("ang") else 1.0
+    shells: List[Shell] = []
+    charges: List[int] = []
+    coords = []
+    for ia, (sym, xyz) in enumerate(geometry):
+        sym = sym.capitalize()
+        center = np.asarray(xyz, dtype=float) * scale
+        charges.append(ATOMIC_NUMBER[sym])
+        coords.append(center)
+        for l, exps, coefs in defs[sym]:
+            shells.append(_contracted_shell(l, exps, coefs, center, ia))
     return shells, charges, np.asarray(coords)
 
 

@@ -129,7 +129,21 @@ def get_active_space_hamiltonian(
                    if i not in occ_inds and w >= threshold_2]
     if not active_inds:
         raise ValueError("active space selection produced no active orbitals")
+    ham = freeze_orbitals(one_body, two_body_phys, occ_inds, active_inds,
+                          nuclear_repulsion)
+    return ham, active_inds, occ_inds
 
+
+def freeze_orbitals(one_body: np.ndarray, two_body_phys: np.ndarray,
+                    occ_inds: List[int], active_inds: List[int],
+                    nuclear_repulsion: float) -> ElectronicStructureHamiltonian:
+    """Explicit-index active-space reduction: orbitals in ``occ_inds`` are
+    frozen doubly occupied (their Coulomb/exchange field folds into the
+    one-body part and core energy), orbitals outside
+    ``occ_inds + active_inds`` are discarded.  The index-based analog of
+    the NOON-threshold selection above — used by the Li2FeSiO4 derivation
+    (reference contextual_subspace.ipynb cells 11-14: tangelo
+    ``frozen_core`` + ``get_orbitals_excluding_homo_lumo``)."""
     # frozen-core folding (physicist notation)
     e_core = nuclear_repulsion
     for i in occ_inds:
@@ -145,5 +159,4 @@ def get_active_space_hamiltonian(
     g_act = two_body_phys[np.ix_(act, act, act, act)]
 
     hpq, hpqrs = convert_to_h_integrals(h_eff, g_act)
-    ham = ElectronicStructureHamiltonian(hpq, hpqrs, constant_coeff=e_core)
-    return ham, active_inds, occ_inds
+    return ElectronicStructureHamiltonian(hpq, hpqrs, constant_coeff=e_core)

@@ -16,6 +16,8 @@ pytestmark = pytest.mark.skipif(not native.available(),
     ([("Li", (0, 0, 0)), ("H", (0, 0, 1.45))], "sto-3g"),
     ([("O", (0, 0, 0)), ("H", (0.9578, 0, 0)),
       ("H", (-0.24, 0.927, 0))], "sto-3g"),
+    # d shells (Fe: 1s/2sp/3sp/4sp/3d — exercises every l=2 class)
+    ([("Fe", (0, 0, 0)), ("O", (0.8, 0.5, 1.1))], "sto-3g"),
 ])
 def test_native_matches_numpy(geom, basis):
     shells, charges, coords = build_shells(geom, basis)

@@ -319,7 +319,8 @@ def test_fused_rotation_parity(data):
     ref = gr.apply_grouped_ops(jnp.asarray(psi), jnp.asarray(theta),
                                jnp.asarray(x), jnp.asarray(z),
                                jnp.asarray(coef), jnp.asarray(op))
-    sd = st.build_stream_data(N, x, z, coef, op=op)
+    sd = st.build_stream_data(N, x, z, coef, op=op,
+                              chunk_bits=st.FUSED_CHUNK_BITS)
     for gcap in (2, st.ROT_BUCKET_CAP):
         bargs = st.build_seq_buckets(sd, gcap=gcap)
         out = st.apply_grouped_ops_fused(psi, theta, *bargs, interpret=True)
@@ -338,7 +339,8 @@ def test_fused_adjoint_parity(data):
         jnp.asarray(theta), jnp.asarray(psi), jnp.asarray(lam), grad0,
         jnp.asarray(x), jnp.asarray(z), jnp.asarray(coef), jnp.asarray(op))
 
-    sd = st.build_stream_data(N, x, z, coef, op=op)
+    sd = st.build_stream_data(N, x, z, coef, op=op,
+                              chunk_bits=st.FUSED_CHUNK_BITS)
     rev = slice(None, None, -1)
     sd_rev = st.StreamGroupData(
         n=sd.n, T=sd.T, C=sd.C, x_lane=sd.x_lane[rev], x_mid=sd.x_mid[rev],
@@ -370,7 +372,8 @@ def test_pool_bucketed_parity(data):
     sigma = _random_state(rng, N)
     n_ops = 3
 
-    sd = st.build_stream_data(N, x, z, coef, coef_im=cim, op=op)
+    sd = st.build_stream_data(N, x, z, coef, coef_im=cim, op=op,
+                              chunk_bits=st.FUSED_CHUNK_BITS)
     vre_ref = np.zeros(n_ops)
     vim_ref = np.zeros(n_ops)
     for g in range(len(x)):
