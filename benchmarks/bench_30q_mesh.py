@@ -43,14 +43,22 @@ def main(n_ops: int = 6):
     n = 30
     rng = np.random.default_rng(30)
 
-    def odd_y():
+    def odd_y(device_bits: str):
+        """Random odd-Y string with a FIXED device-bit prefix (qubits
+        0..2): runs sharing a device mask share one executable, keeping
+        the CPU-XLA compile count of this 2^30 spike bounded."""
         while True:
-            s = "".join(rng.choice(list("IXYZ"), p=[0.72, 0.09, 0.1, 0.09])
-                        for _ in range(n))
+            body = "".join(rng.choice(list("IXYZ"),
+                                      p=[0.72, 0.09, 0.1, 0.09])
+                           for _ in range(n - 3))
+            s = device_bits + body
             if s.count("Y") % 2 == 1 and s.count("I") < n:
                 return PauliSum.from_term(n, float(rng.normal() * 0.3), s)
 
-    gens = [odd_y() for _ in range(n_ops)]
+    # two locality classes: local (identity on the device axis) and one
+    # shared nonlocal mask — consecutive same-mask ops fuse into runs
+    prefixes = ["III"] * (n_ops // 2) + ["XYI"] * (n_ops - n_ops // 2)
+    gens = [odd_y(p) for p in prefixes]
     ham = PauliSum.identity(n, 0.11)
     for _ in range(2):
         zs = "".join(rng.choice(list("IZ"), p=[0.7, 0.3]) for _ in range(n))

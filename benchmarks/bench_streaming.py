@@ -177,7 +177,7 @@ def bench_fused(n, G, K=8, run_len=14):
     matches the measured fusion factor of real UCCSD sequences at 20-24q:
     H10 875 groups -> 62 buckets, H12 1818 -> 132)."""
     rng = np.random.default_rng(2)
-    lift = st.TILE_BITS + st.CHUNK_BITS
+    lift = st.TILE_BITS + st.FUSED_CHUNK_BITS
     span = (1 << (n - lift)) - 1
     huge = rng.integers(0, span + 1, size=G // run_len + 1)
     x = ((huge[np.arange(G) // run_len] << lift)

@@ -133,10 +133,15 @@ def derive_cs_hamiltonians(n_homo_lumo: int = 3,
     return hams, hsp, info
 
 
-def compare(n_homo_lumo: int = 3, qubit_targets=(2, 3, 4, 5, 6, 7, 8)):
+def compare(n_homo_lumo: int = 3, qubit_targets=(2, 3, 4, 5, 6, 7, 8),
+            save_path: str | None = None):
     """Derived-vs-shipped ground energies per qubit count.  The shipped
     cs_hams.json came from the reference's pyscf/symmer chain; deltas
-    reflect the documented basis-convention gaps (module docstring)."""
+    reflect the documented basis-convention gaps (module docstring).
+    ``save_path`` writes the natively derived Hamiltonians + metadata as
+    JSON (cs_hams_native.json in this package is that artifact — it lets
+    tests/test_li2fesio4.py re-verify the spectra without re-running the
+    ~20-minute derivation)."""
     import json
 
     from .utils import load_cs_hams
@@ -154,11 +159,33 @@ def compare(n_homo_lumo: int = 3, qubit_targets=(2, 3, 4, 5, 6, 7, 8)):
             row["delta"] = e_native - e_ship
         rows.append(row)
         print(json.dumps(row), flush=True)
-    return {"info": info, "rows": rows}
+    out = {"info": info, "rows": rows}
+    if save_path:
+        payload = {
+            "provenance": "openvqe_tpu native derivation "
+                          "(apps/quantum_batteries/li2fesio4.py); see "
+                          "PARITY.md basis-set provenance",
+            "n_homo_lumo": n_homo_lumo,
+            "info": info,
+            "rows": rows,
+            # CS projections carry ~1e-3 imaginary parts; the reference
+            # ships real parts only (utils.py:41) — same here
+            "hams": {str(q): hams[q].to_coeff_dict(imag_tol=0.1)
+                     for q in sorted(hams)},
+        }
+        with open(save_path, "w") as f:
+            json.dump(payload, f)
+        print(f"saved {save_path}", flush=True)
+    return out
 
 
 if __name__ == "__main__":
     import sys
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    compare(n)
+    n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
+        else 3
+    save = None
+    if "--save" in sys.argv:
+        save = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "cs_hams_native.json")
+    compare(n, save_path=save)

@@ -162,6 +162,28 @@ class PauliSum:
             out.append((c * phase, "".join(chars), qbits))
         return out
 
+    def to_coeff_dict(self, imag_tol: float = 1e-9) -> Dict[str, float]:
+        """{dense_string: real_coeff} — inverse of ``from_dict`` (the
+        constant rides the all-identity string).  Raises if any
+        coefficient's imaginary part exceeds ``imag_tol`` (contextual-
+        subspace projections carry small imaginary parts that the
+        reference also drops — its utils.py:41 keeps only real parts;
+        pass a loose tolerance there)."""
+        out: Dict[str, complex] = {}
+        n = self.nbqbits
+        for coeff, chars, qbits in self.terms:
+            s = ["I"] * n
+            for ch, q in zip(chars, qbits):
+                s[q] = ch
+            out["".join(s)] = out.get("".join(s), 0.0) + coeff
+        if abs(complex(self.constant_coeff)) > 0:
+            key = "I" * n
+            out[key] = out.get(key, 0.0) + complex(self.constant_coeff)
+        bad = max((abs(complex(v).imag) for v in out.values()), default=0.0)
+        if bad > imag_tol:
+            raise ValueError(f"non-Hermitian coefficient (imag {bad:.2e})")
+        return {k: float(complex(v).real) for k, v in out.items()}
+
     def __len__(self) -> int:
         return len(self._terms)
 

@@ -830,6 +830,25 @@ ROT_BUCKET_CAP = 16
 FUSED_CHUNK_BITS = 2     # C = 4: the fused kernels' staging + hoisted
                          # contexts must fit the 16 MB scoped-VMEM limit
 
+# Which paths default to the residency-fused kernels.  Measured on v5e at
+# 24 qubits with a TRUE 13.5x-fusion workload (benchmarks/
+# bench_streaming.py): rot 0.46x, adjoint 0.98x, pool 1.02x — i.e. the
+# per-group streaming kernels are NOT HBM-bound at this size (removing
+# ~93% of the DMA changes nothing); the serial per-group permutation-
+# matmul chain is the floor (~0.9 ms/group rotation).  The fused kernels
+# stay available (OVQE_STREAM_FUSE=1) and interpret-validated; the known
+# route below the per-group floor is W-windowed residency (W pairs
+# resident, matmuls batched over W x sides x planes x C tile-rows to
+# amortize the chain latency) — see BENCHMARKS.md.
+_FUSE_DEFAULT = {"seq": False, "pool": False}
+
+
+def _fuse_policy(path: str) -> bool:
+    env = _os.environ.get("OVQE_STREAM_FUSE")
+    if env is not None:
+        return env != "0"
+    return _FUSE_DEFAULT[path]
+
 
 def build_seq_buckets(sd: StreamGroupData, gcap: int = ROT_BUCKET_CAP):
     """Bucket an ORDERED StreamGroupData into maximal consecutive
@@ -2053,7 +2072,7 @@ def build_streaming_pool_gradient_fn(gpool, lham, seg: Optional[int] = None):
     sd = build_stream_data(n, gpool.x, gpool.z, gpool.a_re, op=gpool.op,
                            coef_im=gpool.a_im)
     n_ops = gpool.n_ops
-    fuse = _os.environ.get("OVQE_STREAM_FUSE", "1") != "0"
+    fuse = _fuse_policy("pool")
 
     if fuse and sd.G:
         sd = build_stream_data(n, gpool.x, gpool.z, gpool.a_re, op=gpool.op,
@@ -2439,7 +2458,7 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
                 acc = acc + jnp.stack([-w_im * psi[1], w_im * psi[0]])
         return acc
 
-    fuse = _os.environ.get("OVQE_STREAM_FUSE", "1") != "0"
+    fuse = _fuse_policy("seq")
 
     @partial(jax.jit, donate_argnums=(0,))
     def _rot_seg(psi, theta, xh, mb_, nout, xc, xm, xl, op, zr, zc, cre):

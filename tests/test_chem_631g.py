@@ -51,3 +51,17 @@ def test_lih_631g_molecule():
     assert e < md_sto.info["HF"]
     assert md.info["FCI"] < e                  # correlation lowers
     assert md.info["MP2"] < e
+
+
+def test_h2o_631g_molecule():
+    """H2O/6-31G at the reference molecule-table geometry
+    (molecule_factory.py H2O row): bracketed by the HF limit and below
+    STO-3G; MP2 lowers."""
+    geom = [("O", (0.0, 0.0, 0.1173)), ("H", (0.0, 0.7572, -0.4692)),
+            ("H", (0.0, -0.7572, -0.4692))]
+    md = compute_molecule(geom, "6-31g", run_fci_flag=False)
+    e = md.info["HF"]
+    assert -76.07 < e < -75.90, e      # HF limit -76.066; 6-31G ~ -75.98
+    md_sto = compute_molecule(geom, "sto-3g", run_fci_flag=False)
+    assert e < md_sto.info["HF"]
+    assert md.info["MP2"] < e
