@@ -164,7 +164,16 @@ def fermionic_adapt_vqe(
               f"fidelity_max_qubits={fidelity_max_qubits} (raise it to "
               f"force the Lanczos ground-state reference)")
 
-    psi = sv.hf_state(n, hf_init_sp)
+    # device-resident HF state: the host-numpy fallback would push the
+    # 2^n planes through the tunnel TWICE here (expectation + first
+    # screen) — 512 MB each way at 26 qubits (measured ~38 s per pass)
+    if getattr(objective, "_streaming", False) and hasattr(
+            objective, "_psi0_device"):
+        psi = objective._psi0_device(hf_init_sp)   # f32 streaming cache
+    elif hasattr(objective, "_psi0"):
+        psi = objective._psi0(hf_init_sp)  # host numpy / sharded device
+    else:
+        psi = sv.hf_state(n, hf_init_sp)
     ref_energy = objective.expectation(psi)
     if verbose:
         print(" The reference energy of the molecular system is: %12.8f"
@@ -200,6 +209,8 @@ def fermionic_adapt_vqe(
     for n_iter in range(start_iter, max_external_iterations):
         if verbose:
             print("\n Fermionic_ADAPT-VQE iteration: ", n_iter)
+        import time as _time
+        _t0 = _time.time()
         v = _screen(grad_fn, psi)
         list_grad = (2.0 * np.real(v)).tolist()
         curr_norm = float(np.sqrt(np.sum(np.square(list_grad))))
@@ -234,19 +245,37 @@ def fermionic_adapt_vqe(
             ansatz_gens.append(cluster_ops_sp[sorted_idx[j]] * 1j)
             op_indices.append(sorted_idx[j])
 
+        _t1 = _time.time()
         bound = objective.bind(ansatz_gens, hf_init_sp)
         if optimizer in ("COBYLA", "Nelder-Mead", "Powell"):
             fun, jac = bound.energy, None
         else:
             fun, jac = bound.scipy_fun_jac()
+        _t2 = _time.time()
+        method, tol_kw, opts = optimizer, tolerance, {"maxiter": 100000,
+                                                      "disp": False}
+        if optimizer == "BFGS" and getattr(objective, "_streaming", False):
+            # f32 streaming objectives: BFGS's Wolfe line search churns
+            # against the float32 noise floor (measured 69 evals for a
+            # 2-iteration step at 26 qubits, ~12 min of device time).
+            # L-BFGS-B with a noise-matched ftol and an eval cap stops at
+            # the same energies in a handful of evaluations.
+            method, tol_kw = "L-BFGS-B", None
+            opts = {"maxiter": 1000, "ftol": 1e-7, "gtol": 1e-5,
+                    "maxfun": 40 * max(1, len(parameters_ansatz)) + 60,
+                    "disp": False}
         opt_result = scipy.optimize.minimize(
             fun, x0=np.asarray(parameters_ansatz, dtype=float),
-            method=optimizer, tol=tolerance, jac=jac,
-            options={"maxiter": 100000, "disp": False})
+            method=method, tol=tol_kw, jac=jac, options=opts)
         parameters_ansatz = list(map(float, opt_result.x))
         last_energy = float(opt_result.fun)
+        _t3 = _time.time()
         if verbose:
             print(" Finished energy iteration_i: %20.12f" % last_energy)
+            print(f" [timing] screen {_t1 - _t0:.1f}s  bind "
+                  f"{_t2 - _t1:.1f}s  optimize {_t3 - _t2:.1f}s "
+                  f"({getattr(opt_result, 'nfev', '?')} evals, "
+                  f"{getattr(opt_result, 'nit', '?')} iters)")
         psi = bound.forward(parameters_ansatz)  # stays on device
         prev_norm = curr_norm
 
@@ -262,6 +291,10 @@ def fermionic_adapt_vqe(
         iterations["RY"].append(counts["RY"])
         iterations["RX"].append(counts["RX"])
         logger.log({"iteration": n_iter, "energy": last_energy,
+                    "t_screen_s": round(_t1 - _t0, 2),
+                    "t_bind_s": round(_t2 - _t1, 2),
+                    "t_optimize_s": round(_t3 - _t2, 2),
+                    "opt_nfev": int(getattr(opt_result, "nfev", -1)),
                     "norm": curr_norm, "fidelity": fid,
                     "n_ops": len(ansatz_gens), "CNOTs": counts["CNOT"]})
         if checkpoint_path:
@@ -316,7 +349,13 @@ def qubit_adapt_vqe(
     objective, grad_fn = _objective_and_screen(hamiltonian_sp, n,
                                                pool_mix, mesh)
 
-    psi = sv.hf_state(n, hf_init_sp)
+    if getattr(objective, "_streaming", False) and hasattr(
+            objective, "_psi0_device"):            # device-resident (see
+        psi = objective._psi0_device(hf_init_sp)   # fermionic loop note)
+    elif hasattr(objective, "_psi0"):
+        psi = objective._psi0(hf_init_sp)
+    else:
+        psi = sv.hf_state(n, hf_init_sp)
     ref_energy = objective.expectation(psi)
     if verbose:
         print("reference_energy:", ref_energy)
