@@ -193,25 +193,28 @@ def _local_expectation(psi_loc, h, d: int):
 
 
 def _local_apply(psi_loc, theta, seq6, L: int, d: int,
-                 reverse: bool = False, sign: float = 1.0):
-    """Grouped rotation sweep on the local block."""
+                 reverse: bool = False, sign: float = 1.0, fmode: int = 0):
+    """Grouped rotation sweep on the local block.  The device-local field
+    (z_hi signs folded into the coefficients) is a RESTRICTION of the global
+    field to this block, so the sequence's fmode certificate carries over
+    unchanged."""
     coord = jax.lax.axis_index(AXIS)
 
     def step(p, g):
         xh, xl, zh, zl, sg, og = g
         sc = _coord_signs(zh, coord, p.dtype)
         phi = gr._sign_field(zl, sg * sc, L).reshape(-1)
-        B = (-sign) * theta[og] * phi
         block = _dyn_ppermute(p, xh, d)
         pxl = gr.xor_perm(block, xl)
-        c, s = jnp.cos(B), jnp.sin(B)
+        c, s = gr.rot_cos_sin((-sign) * theta[og], phi, fmode)
         return c[None, :] * p + s[None, :] * pxl, None
 
     out, _ = jax.lax.scan(step, psi_loc, seq6, reverse=reverse)
     return out
 
 
-def _local_adjoint(theta, p, l, grad, seq6, L: int, d: int):
+def _local_adjoint(theta, p, l, grad, seq6, L: int, d: int,
+                   fmode: int = 0):
     """Reversible adjoint on the local block.  Each group's gradient entry
     is psum'd inside the scan so ``grad`` stays REPLICATED — required for
     the segmented host loop that carries it between device calls."""
@@ -222,8 +225,7 @@ def _local_adjoint(theta, p, l, grad, seq6, L: int, d: int):
         xh, xl, zh, zl, sg, og = g
         sc = _coord_signs(zh, coord, p.dtype)
         phi = gr._sign_field(zl, sg * sc, L).reshape(-1)
-        B = -theta[og] * phi
-        c, s = jnp.cos(B), jnp.sin(B)
+        c, s = gr.rot_cos_sin(-theta[og], phi, fmode)
         pxl = gr.xor_perm(_dyn_ppermute(p, xh, d), xl)
         gt = jax.lax.psum(-2.0 * jnp.sum(phi[None, :] * l * pxl), AXIS)
         p_prev = c[None, :] * p - s[None, :] * pxl
@@ -280,30 +282,12 @@ class ShardedVQEObjective:
         self.segmented = bool(segmented)
         self.seg = gr.grouped_segment_size(self.L) if self.segmented else None
         self._build_programs()
+        self._seq_prog_cache: Dict[int, Dict[str, object]] = {}
         self._psi0_cache: Dict[int, jax.Array] = {}
 
     # -- jitted shard_map programs (ham static, sequence traced) -----------
     def _build_programs(self):
-        mesh, d, L, h = self.mesh, self.d, self.L, self._h
-        seq_specs = (P(),) * 6
-
-        def l_energy(theta, psi_loc, *seq6):
-            p = _local_apply(psi_loc, theta, seq6, L, d)
-            return jax.lax.psum(_local_expectation(p, h, d), AXIS)
-
-        def l_energy_grad(theta, psi_loc, *seq6):
-            p = _local_apply(psi_loc, theta, seq6, L, d)
-            # one H pass serves both: e = Re<psi|lam> + const <psi|psi>
-            lam0 = _local_ham_apply(p, h, d, include_const=False)
-            e = jax.lax.psum(jnp.sum(p * lam0)
-                             + h["c_re"] * jnp.sum(p * p), AXIS)
-            lam = lam0 + h["c_re"] * p
-            grad0 = jnp.zeros_like(theta)
-            _, _, grad = _local_adjoint(theta, p, lam, grad0, seq6, L, d)
-            return e, grad
-
-        def l_forward(theta, psi_loc, *seq6):
-            return _local_apply(psi_loc, theta, seq6, L, d)
+        mesh, d, h = self.mesh, self.d, self._h
 
         def l_ham(psi_loc):
             return _local_ham_apply(psi_loc, h, d)
@@ -313,24 +297,58 @@ class ShardedVQEObjective:
 
         sm = lambda f, ins, outs: jax.jit(shard_map(
             f, mesh=mesh, in_specs=ins, out_specs=outs))
-        self._energy = sm(l_energy, (P(), SPEC) + seq_specs, P())
-        self._energy_and_grad = sm(l_energy_grad, (P(), SPEC) + seq_specs,
-                                   (P(), P()))
-        self._forward = sm(l_forward, (P(), SPEC) + seq_specs, SPEC)
         self._lham = sm(l_ham, (SPEC,), SPEC)
         self._expect = sm(l_expect, (SPEC,), P())
 
+    def _seq_programs(self, fmode: int = 0) -> Dict[str, object]:
+        """Sequence programs per field mode (grouped.rot_cos_sin)."""
+        if fmode in self._seq_prog_cache:
+            return self._seq_prog_cache[fmode]
+        mesh, d, L, h = self.mesh, self.d, self.L, self._h
+        seq_specs = (P(),) * 6
+
+        def l_energy(theta, psi_loc, *seq6):
+            p = _local_apply(psi_loc, theta, seq6, L, d, fmode=fmode)
+            return jax.lax.psum(_local_expectation(p, h, d), AXIS)
+
+        def l_energy_grad(theta, psi_loc, *seq6):
+            p = _local_apply(psi_loc, theta, seq6, L, d, fmode=fmode)
+            # one H pass serves both: e = Re<psi|lam> + const <psi|psi>
+            lam0 = _local_ham_apply(p, h, d, include_const=False)
+            e = jax.lax.psum(jnp.sum(p * lam0)
+                             + h["c_re"] * jnp.sum(p * p), AXIS)
+            lam = lam0 + h["c_re"] * p
+            grad0 = jnp.zeros_like(theta)
+            _, _, grad = _local_adjoint(theta, p, lam, grad0, seq6, L, d,
+                                        fmode=fmode)
+            return e, grad
+
+        def l_forward(theta, psi_loc, *seq6):
+            return _local_apply(psi_loc, theta, seq6, L, d, fmode=fmode)
+
+        sm = lambda f, ins, outs: jax.jit(shard_map(
+            f, mesh=mesh, in_specs=ins, out_specs=outs))
+        progs = {
+            "energy": sm(l_energy, (P(), SPEC) + seq_specs, P()),
+            "energy_and_grad": sm(l_energy_grad, (P(), SPEC) + seq_specs,
+                                  (P(), P())),
+            "forward": sm(l_forward, (P(), SPEC) + seq_specs, SPEC),
+        }
         if self.segmented:
             def l_apply_seg(theta, psi_loc, *seq6):
-                return _local_apply(psi_loc, theta, seq6, L, d)
+                return _local_apply(psi_loc, theta, seq6, L, d, fmode=fmode)
 
             def l_adj_seg(theta, p, lam, grad, *seq6):
-                return _local_adjoint(theta, p, lam, grad, seq6, L, d)
+                return _local_adjoint(theta, p, lam, grad, seq6, L, d,
+                                      fmode=fmode)
 
-            self._apply_seg = sm(l_apply_seg, (P(), SPEC) + seq_specs, SPEC)
-            self._adj_seg = sm(
+            progs["apply_seg"] = sm(l_apply_seg, (P(), SPEC) + seq_specs,
+                                    SPEC)
+            progs["adj_seg"] = sm(
                 l_adj_seg, (P(), SPEC, SPEC, P()) + seq_specs,
                 (SPEC, SPEC, P()))
+        self._seq_prog_cache[fmode] = progs
+        return progs
 
     def _psi0(self, hf_init: int):
         if hf_init not in self._psi0_cache:
@@ -348,7 +366,8 @@ class ShardedVQEObjective:
             G, K = gseq.z.shape
             gseq = gr.pad_grouped_sequence(gseq, bucket_size(G), max(K, 8))
         return ShardedBoundAnsatz(self, _split_seq(gseq, self.d),
-                                  self._psi0(hf_init), len(generators))
+                                  self._psi0(hf_init), len(generators),
+                                  fmode=gseq.fmode)
 
     # device-side Hamiltonian services
     def ham_apply(self, psi):
@@ -360,11 +379,16 @@ class ShardedVQEObjective:
 
 class ShardedBoundAnsatz:
 
-    def __init__(self, obj: ShardedVQEObjective, seq6, psi0, n_ops: int):
+    def __init__(self, obj: ShardedVQEObjective, seq6, psi0, n_ops: int,
+                 fmode: int = 0):
         self._obj = obj
         self._seq6 = seq6
         self._psi0 = psi0
+        self._fmode = fmode
         self.n_ops = n_ops
+
+    def _progs(self):
+        return self._obj._seq_programs(self._fmode)
 
     def _segments(self):
         seg = self._obj.seg
@@ -380,24 +404,26 @@ class ShardedBoundAnsatz:
         theta = jnp.asarray(theta, dtype=float)
         obj = self._obj
         if not obj.segmented:
-            return obj._forward(theta, self._psi0, *self._seq6)
+            return self._progs()["forward"](theta, self._psi0, *self._seq6)
         psi = self._psi0
         for seq6 in self._segments():
-            psi = obj._apply_seg(theta, psi, *seq6)
+            psi = self._progs()["apply_seg"](theta, psi, *seq6)
         return psi
 
     def energy(self, theta) -> float:
         theta = jnp.asarray(theta, dtype=float)
         obj = self._obj
         if not obj.segmented:
-            return float(obj._energy(theta, self._psi0, *self._seq6))
+            return float(self._progs()["energy"](theta, self._psi0,
+                                                 *self._seq6))
         return float(obj._expect(self.forward(theta)))
 
     def energy_and_grad(self, theta) -> Tuple[float, np.ndarray]:
         obj = self._obj
         theta = jnp.asarray(theta, dtype=float)
         if not obj.segmented:
-            e, g = obj._energy_and_grad(theta, self._psi0, *self._seq6)
+            e, g = self._progs()["energy_and_grad"](theta, self._psi0,
+                                                    *self._seq6)
             return float(e), np.asarray(g, dtype=float)
         psi = self.forward(theta)
         e = float(obj._expect(psi))
@@ -405,7 +431,7 @@ class ShardedBoundAnsatz:
         grad = jnp.zeros(theta.shape, dtype=theta.dtype)
         p, l = psi, lam
         for seq6 in reversed(self._segments()):
-            p, l, grad = obj._adj_seg(theta, p, l, grad, *seq6)
+            p, l, grad = self._progs()["adj_seg"](theta, p, l, grad, *seq6)
         return e, np.asarray(grad, dtype=float)
 
     def scipy_fun_jac(self, energies: Optional[List[float]] = None):

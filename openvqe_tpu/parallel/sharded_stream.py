@@ -433,7 +433,8 @@ class ShardedStreamObjective:
         fwd_runs = _split_runs(gseq, self.d, st.CHUNK_BITS)
         adj_runs = _split_runs(gseq, self.d, st.ADJ_CHUNK_BITS)
         return ShardedStreamBound(self, fwd_runs, adj_runs,
-                                  self._psi0(hf_init), gseq.n_ops)
+                                  self._psi0(hf_init), gseq.n_ops,
+                                  fmode=gseq.fmode)
 
 
 class ShardedStreamBound:
@@ -442,10 +443,14 @@ class ShardedStreamBound:
     and co-evolve the [own, partner] pair (see module docstring)."""
 
     def __init__(self, obj: ShardedStreamObjective, fwd_runs: List[_Run],
-                 adj_runs: List[_Run], psi0, n_ops: int):
+                 adj_runs: List[_Run], psi0, n_ops: int, fmode: int = 0):
         self._obj = obj
         self._psi0 = psi0
         self.n_ops = n_ops
+        # the lifted per-device fields are restrictions of the global field
+        # (coord signs only flip coefficient signs), so the sequence's
+        # fmode certificate carries over to every run
+        self._fmode = fmode
         self._fwd = self._build_sweep_fns(fwd_runs, adjoint=False)
         self._adj = self._build_sweep_fns(adj_runs, adjoint=True)
 
@@ -495,12 +500,13 @@ class ShardedStreamBound:
             if impl == "stream":
                 state = st.apply_grouped_ops_stream(
                     state, theta, xh, mb, nout, xc, xm, xl, op, zr, zc, cre,
-                    interpret=interpret)
+                    interpret=interpret, fmode=self._fmode)
             else:
                 xg, zg, sg, og = [jnp.asarray(a) for a in xla_args]
                 scx = sc[:, :sg.shape[1], 0]
                 state = gr.apply_grouped_ops(state, theta, xg, zg,
-                                             sg * scx, og)
+                                             sg * scx, og,
+                                             fmode=self._fmode)
             return state[:, :n_loc]
 
         return obj._sm(l_fwd, (P(), SPEC), SPEC)
@@ -536,7 +542,7 @@ class ShardedStreamBound:
                 angles = -jnp.asarray(theta, jnp.float32)[op]
                 pst, lst, gts = st.adjoint_sweep_stream(
                     pst, lst, xh, mb, nout, xc, xm, xl, angles, zr, zc, cre,
-                    interpret=interpret)
+                    interpret=interpret, fmode=self._fmode)
             else:
                 xg, zg, sg, og = [jnp.asarray(a) for a in xla_rev]
                 scx = sc[:, :sg.shape[1], 0]
@@ -545,7 +551,7 @@ class ShardedStreamBound:
                 grad0 = jnp.zeros(theta.shape, pst.dtype)
                 pst, lst, gfull = gr.grouped_adjoint_sweep(
                     theta, pst, lst, grad0, xg[::-1], zg[::-1],
-                    (sg * scx)[::-1], og[::-1])
+                    (sg * scx)[::-1], og[::-1], fmode=self._fmode)
                 gts = None
             p_out, l_out = pst[:, :n_loc], lst[:, :n_loc]
             if gts is not None:

@@ -46,13 +46,13 @@ class VQEObjective:
             work_terms = 2 * self.gham.n_groups + 2
             segmented = work_terms * float(1 << self.n) > sv._CALL_WORK_BUDGET
         self.segmented = bool(segmented)
+        # grouped programs are cached per field mode (grouped.rot_cos_sin):
+        # fmode > 0 sequences run transcendental-free rotation kernels
+        self._seg_cache: Dict[int, tuple] = {}
+        self._dyn_cache: Dict[int, tuple] = {}
         if self.segmented:
-            (self._seg_energy, self._seg_energy_and_grad, self._seg_forward,
-             self._seg_lham, self._seg_expect) = \
-                gr.build_grouped_segmented_energy_fn(self.gham)
+            (_, _, _, self._seg_lham, self._seg_expect) = self._seg_fns(0)
         else:
-            (self._energy, self._energy_and_grad,
-             self._forward) = gr.build_grouped_dynamic_energy_fn(self.gham)
             hargs = gr.ham_as_device(self.gham)
             self._lham = jax.jit(lambda psi: gr.grouped_ham_apply(psi, *hargs))
         # ONE Pallas fast path per objective, decided before anything is
@@ -88,6 +88,18 @@ class VQEObjective:
         self._psi0_cache: Dict[int, np.ndarray] = {}
         self._psi0_dev_cache: Dict[int, "jnp.ndarray"] = {}
 
+    def _seg_fns(self, fmode: int = 0):
+        if fmode not in self._seg_cache:
+            self._seg_cache[fmode] = gr.build_grouped_segmented_energy_fn(
+                self.gham, fmode=fmode)
+        return self._seg_cache[fmode]
+
+    def _dyn_fns(self, fmode: int = 0):
+        if fmode not in self._dyn_cache:
+            self._dyn_cache[fmode] = gr.build_grouped_dynamic_energy_fn(
+                self.gham, fmode=fmode)
+        return self._dyn_cache[fmode]
+
     def _build_pallas_programs(self):
         n = self.n
         gham = self.gham
@@ -105,9 +117,12 @@ class VQEObjective:
                                 * gr._group_bilinear(p2, zd, n))
             return e + c_re * jnp.sum(psi * psi)
 
-        @jax.jit
-        def p_energy(theta, psi0, pargs):
-            psi = pk.apply_grouped_ops_pallas(psi0, theta, *pargs)
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=(3,))
+        def p_energy(theta, psi0, pargs, fmode=0):
+            psi = pk.apply_grouped_ops_pallas(psi0, theta, *pargs,
+                                              fmode=fmode)
             return _expect(psi)
 
         two_state = pk.pallas_2state_supported(n)
@@ -128,9 +143,10 @@ class VQEObjective:
                 out = out + jnp.stack([-w_im * psi[1], w_im * psi[0]])
             return out
 
-        @jax.jit
-        def p_energy_and_grad(theta, psi0, pargs, xargs):
-            psi = pk.apply_grouped_ops_pallas(psi0, theta, *pargs)
+        @partial(jax.jit, static_argnums=(4,))
+        def p_energy_and_grad(theta, psi0, pargs, xargs, fmode=0):
+            psi = pk.apply_grouped_ops_pallas(psi0, theta, *pargs,
+                                              fmode=fmode)
             # one H pass serves both: e = Re<psi|lam> + const <psi|psi>
             if two_state:
                 lam0 = pk.ham_apply_pallas(psi, *hargs_p) + _diag_field(psi)
@@ -147,18 +163,20 @@ class VQEObjective:
                 angles = -jnp.asarray(theta, jnp.float32)[op]
                 _, _, gts = pk.adjoint_sweep_pallas(
                     psi, lam, x_top, x_mid, x_lane, angles,
-                    pargs[4][::-1], pargs[5][::-1], pargs[6][::-1])
+                    pargs[4][::-1], pargs[5][::-1], pargs[6][::-1],
+                    fmode=fmode)
                 grad = jax.ops.segment_sum(gts.astype(theta.dtype), op,
                                            num_segments=theta.shape[0])
             else:
                 grad0 = jnp.zeros_like(theta)
                 _, _, grad = gr.grouped_adjoint_sweep(theta, psi, lam, grad0,
-                                                      *xargs)
+                                                      *xargs, fmode=fmode)
             return e, grad
 
-        @jax.jit
-        def p_forward(theta, psi0, pargs):
-            return pk.apply_grouped_ops_pallas(psi0, theta, *pargs)
+        @partial(jax.jit, static_argnums=(3,))
+        def p_forward(theta, psi0, pargs, fmode=0):
+            return pk.apply_grouped_ops_pallas(psi0, theta, *pargs,
+                                               fmode=fmode)
 
         self._p_energy = p_energy
         self._p_energy_and_grad = p_energy_and_grad
@@ -210,7 +228,8 @@ class VQEObjective:
             sargs = tuple(jnp.asarray(a) for a in gr.seq_as_device(gseq))
             return BoundAnsatz(self, sargs, self._psi0(hf_init),
                                len(generators), grouped=True, pargs=pargs,
-                               stargs=stargs, hf_init=hf_init)
+                               stargs=stargs, hf_init=hf_init,
+                               fmode=gseq.fmode)
         if not self.segmented:
             seq = sv.pad_sequence(seq, sv.bucket_size(max(seq.n_terms, 1)))
         return BoundAnsatz(self, sv.seq_as_device(seq, self.cdtype),
@@ -237,7 +256,7 @@ class BoundAnsatz:
 
     def __init__(self, objective: VQEObjective, seq_args, psi0, n_ops: int,
                  grouped: bool = True, pargs=None, stargs=None,
-                 hf_init: Optional[int] = None):
+                 hf_init: Optional[int] = None, fmode: int = 0):
         self._obj = objective
         self._seq_args = seq_args
         self._psi0 = psi0
@@ -245,6 +264,7 @@ class BoundAnsatz:
         self._pargs = pargs        # pallas group operands (or None)
         self._stargs = stargs      # streaming prepared segments (or None)
         self._hf_init = hf_init
+        self._fmode = fmode        # grouped.sequence_field_mode of the bind
         self.n_ops = n_ops
 
     def _psi0_st(self):
@@ -261,14 +281,15 @@ class BoundAnsatz:
                                         self._stargs))
         if self._pargs is not None:
             return float(obj._p_energy(jnp.asarray(theta, dtype=float),
-                                       jnp.asarray(self._psi0), self._pargs))
+                                       jnp.asarray(self._psi0), self._pargs,
+                                       self._fmode))
         if self._grouped:
             if obj.segmented:
-                return float(obj._seg_energy(theta, self._psi0,
-                                             self._seq_args))
-            return float(obj._energy(jnp.asarray(theta, dtype=float),
-                                     jnp.asarray(self._psi0),
-                                     *self._seq_args))
+                return float(obj._seg_fns(self._fmode)[0](
+                    theta, self._psi0, self._seq_args))
+            return float(obj._dyn_fns(self._fmode)[0](
+                jnp.asarray(theta, dtype=float), jnp.asarray(self._psi0),
+                *self._seq_args))
         fns = obj._fallback()
         if obj.segmented:
             return float(fns[0](theta, self._psi0, self._seq_args))
@@ -283,16 +304,17 @@ class BoundAnsatz:
         if self._pargs is not None:
             e, g = obj._p_energy_and_grad(jnp.asarray(theta, dtype=float),
                                           jnp.asarray(self._psi0),
-                                          self._pargs, self._seq_args)
+                                          self._pargs, self._seq_args,
+                                          self._fmode)
             return float(e), np.asarray(g, dtype=float)
         if self._grouped:
             if obj.segmented:
-                e, g = obj._seg_energy_and_grad(theta, self._psi0,
-                                                self._seq_args)
+                e, g = obj._seg_fns(self._fmode)[1](theta, self._psi0,
+                                                    self._seq_args)
             else:
-                e, g = obj._energy_and_grad(jnp.asarray(theta, dtype=float),
-                                            jnp.asarray(self._psi0),
-                                            *self._seq_args)
+                e, g = obj._dyn_fns(self._fmode)[1](
+                    jnp.asarray(theta, dtype=float), jnp.asarray(self._psi0),
+                    *self._seq_args)
             return float(e), np.asarray(g, dtype=float)
         fns = obj._fallback()
         if obj.segmented:
@@ -310,12 +332,13 @@ class BoundAnsatz:
         theta = jnp.asarray(theta, dtype=float)
         if self._pargs is not None:
             return obj._p_forward(theta, jnp.asarray(self._psi0),
-                                  self._pargs)
+                                  self._pargs, self._fmode)
         if self._grouped:
             if obj.segmented:
-                return obj._seg_forward(theta, self._psi0, self._seq_args)
-            return obj._forward(theta, jnp.asarray(self._psi0),
-                                *self._seq_args)
+                return obj._seg_fns(self._fmode)[2](theta, self._psi0,
+                                                    self._seq_args)
+            return obj._dyn_fns(self._fmode)[2](
+                theta, jnp.asarray(self._psi0), *self._seq_args)
         if obj.segmented:
             return obj._fallback()[2](theta, self._psi0, self._seq_args)
         return _forward(theta, jnp.asarray(self._psi0), *self._seq_args)

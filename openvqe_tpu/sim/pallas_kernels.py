@@ -42,7 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .grouped import GroupedOpSequence, GroupedPauliSum
+from .grouped import GroupedOpSequence, GroupedPauliSum, rot_cos_sin
 
 LANE = 128
 SUB = 128
@@ -155,8 +155,8 @@ def _mm(a, b):
                                precision=jax.lax.Precision.HIGHEST)
 
 
-def _rot_kernel(xtop_ref, xmid_ref, xlane_ref, ang_ref, wl_ref, sm_ref,
-                st_ref, psi_in_ref, psi_ref):
+def _rot_kernel(fmode, xtop_ref, xmid_ref, xlane_ref, ang_ref, wl_ref,
+                sm_ref, st_ref, psi_in_ref, psi_ref):
     g = pl.program_id(0)
 
     @pl.when(g == 0)
@@ -187,15 +187,13 @@ def _rot_kernel(xtop_ref, xmid_ref, xlane_ref, ang_ref, wl_ref, sm_ref,
             a1 = psi_ref[1, t]
             b0 = psi_ref[0, tt]
             b1 = psi_ref[1, tt]
-            Bt = ang * phi(t)
-            ct, snt = jnp.cos(Bt), jnp.sin(Bt)
+            ct, snt = rot_cos_sin(ang, phi(t), fmode)
             na0 = ct * a0 + snt * perm(b0)
             na1 = ct * a1 + snt * perm(b1)
 
             @pl.when(xt != 0)
             def _():
-                Bp = ang * phi(tt)
-                cp, sp = jnp.cos(Bp), jnp.sin(Bp)
+                cp, sp = rot_cos_sin(ang, phi(tt), fmode)
                 psi_ref[0, tt] = cp * b0 + sp * perm(a0)
                 psi_ref[1, tt] = cp * b1 + sp * perm(a1)
 
@@ -297,7 +295,8 @@ def pad_group_data(gd: GroupData, g_pad: int) -> GroupData:
 
 
 def apply_grouped_ops_pallas(psi, theta, x_top, x_mid, x_lane, op, w_lane,
-                             s_mid, s_top, interpret: bool = False):
+                             s_mid, s_top, interpret: bool = False,
+                             fmode: int = 0):
     """Whole-ansatz rotation sweep; psi (2, 2^n) f32 -> (2, 2^n) f32.
     Group operands as produced by seq_args(); all may be traced."""
     G, K = w_lane.shape[0], w_lane.shape[1]
@@ -315,8 +314,9 @@ def apply_grouped_ops_pallas(psi, theta, x_top, x_mid, x_lane, op, w_lane,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
+    from functools import partial as _partial
     out = pl.pallas_call(
-        _rot_kernel,
+        _partial(_rot_kernel, fmode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(psi4.shape, jnp.float32),
         input_output_aliases={7: 0},   # psi_in buffer reused as output
@@ -444,8 +444,8 @@ def ham_apply_pallas(psi, x_top, x_mid, x_lane, w_lane, w_lane_im, s_mid,
     return out.reshape(2, -1)
 
 
-def _adjoint_kernel(xtop_ref, xmid_ref, xlane_ref, ang_ref, wl_ref, sm_ref,
-                    st_ref, p_in_ref, l_in_ref, p_ref, l_ref, gt_ref,
+def _adjoint_kernel(fmode, xtop_ref, xmid_ref, xlane_ref, ang_ref, wl_ref,
+                    sm_ref, st_ref, p_in_ref, l_in_ref, p_ref, l_ref, gt_ref,
                     acc_ref):
     g = pl.program_id(0)
 
@@ -475,8 +475,7 @@ def _adjoint_kernel(xtop_ref, xmid_ref, xlane_ref, ang_ref, wl_ref, sm_ref,
         """Un-rotated values for tile t of p and l (reading partner tile
         tt) and the tile's gradient contribution — pure reads."""
         ph = phi(t)
-        B = ang * ph
-        c, s = jnp.cos(B), jnp.sin(B)
+        c, s = rot_cos_sin(ang, ph, fmode)
         pxp0 = perm(p_ref[0, tt])
         pxp1 = perm(p_ref[1, tt])
         pxl0 = perm(l_ref[0, tt])
@@ -515,7 +514,7 @@ def _adjoint_kernel(xtop_ref, xmid_ref, xlane_ref, ang_ref, wl_ref, sm_ref,
 
 
 def adjoint_sweep_pallas(p, lam, x_top, x_mid, x_lane, angles, w_lane, s_mid,
-                         s_top, interpret: bool = False):
+                         s_top, interpret: bool = False, fmode: int = 0):
     """Reversible adjoint over grouped rotations (operands must be passed in
     REVERSED group order).  Returns (p_prev, lam_prev, per-group gradient
     entries); the caller segment-sums entries into parameters.  angles =
@@ -554,8 +553,9 @@ def adjoint_sweep_pallas(p, lam, x_top, x_mid, x_lane, angles, w_lane, s_mid,
         ),
         scratch_shapes=[pltpu.VMEM((8, LANE), jnp.float32)],
     )
+    from functools import partial as _partial
     p_out, l_out, gts = pl.pallas_call(
-        _adjoint_kernel,
+        _partial(_adjoint_kernel, fmode),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct(p4.shape, jnp.float32),
                    jax.ShapeDtypeStruct(l4.shape, jnp.float32),

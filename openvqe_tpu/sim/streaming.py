@@ -46,6 +46,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .grouped import rot_cos_sin
+
 LANE = 128
 SUB = 128
 TILE_BITS = 14
@@ -82,6 +84,7 @@ class StreamGroupData:
     cre: np.ndarray         # (G, K, 1) f32 Re coefficients
     cim: Optional[np.ndarray]  # (G, K, 1) f32 Im coefficients (ham only)
     op: Optional[np.ndarray]   # (G,) i32 parameter index (sequences only)
+    fmode: int = 0             # grouped.sequence_field_mode (rotations only)
 
     @property
     def G(self) -> int:
@@ -91,7 +94,8 @@ class StreamGroupData:
 def build_stream_data(n: int, x: np.ndarray, z: np.ndarray, coef: np.ndarray,
                       op: Optional[np.ndarray] = None,
                       coef_im: Optional[np.ndarray] = None,
-                      chunk_bits: int = CHUNK_BITS) -> StreamGroupData:
+                      chunk_bits: int = CHUNK_BITS,
+                      fmode: int = 0) -> StreamGroupData:
     """Lower grouped (x, z, coef) arrays — shapes (G,), (G, K), (G, K) —
     to streaming kernel operands."""
     if n < TILE_BITS + chunk_bits:
@@ -132,13 +136,15 @@ def build_stream_data(n: int, x: np.ndarray, z: np.ndarray, coef: np.ndarray,
         z_r=zp[:, :, None], z_c=zp[:, None, :],
         cre=crep[:, :, None],
         cim=None if cimp is None else cimp[:, :, None],
-        op=None if op is None else np.asarray(op, np.int32))
+        op=None if op is None else np.asarray(op, np.int32),
+        fmode=fmode)
 
 
 def stream_seq_data(gseq, chunk_bits: int = CHUNK_BITS) -> StreamGroupData:
     """From a GroupedOpSequence (sim/grouped.py)."""
     return build_stream_data(gseq.n, gseq.x, gseq.z, gseq.s, op=gseq.op,
-                             chunk_bits=chunk_bits)
+                             chunk_bits=chunk_bits,
+                             fmode=getattr(gseq, "fmode", 0))
 
 
 def _reverse_sd(sd: StreamGroupData) -> StreamGroupData:
@@ -149,7 +155,7 @@ def _reverse_sd(sd: StreamGroupData) -> StreamGroupData:
         x_chunk=sd.x_chunk[r], x_huge=sd.x_huge[r], mb=sd.mb[r],
         n_outer=sd.n_outer[r], z_r=sd.z_r[r], z_c=sd.z_c[r], cre=sd.cre[r],
         cim=None if sd.cim is None else sd.cim[r],
-        op=None if sd.op is None else sd.op[r])
+        op=None if sd.op is None else sd.op[r], fmode=sd.fmode)
 
 
 def stream_ham_data(gham) -> StreamGroupData:
@@ -361,9 +367,9 @@ def _resolve_interpret(interpret):
 # a group are disjoint tiles, so overlapping reads/writes never alias; all
 # writes are waited before the grid step ends (group g+1 reads everything).
 
-def _rot_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
-                       ang_ref, zr_ref, zc_ref, cre_ref, psi_in_ref, psi_ref,
-                       bufA, bufB, outA, outB, sin, sout):
+def _rot_stream_kernel(fmode, xh_ref, mb_ref, nout_ref, xc_ref, xm_ref,
+                       xl_ref, ang_ref, zr_ref, zc_ref, cre_ref, psi_in_ref,
+                       psi_ref, bufA, bufB, outA, outB, sin, sout):
     g = pl.program_id(0)
     xh = xh_ref[g]
     mb = mb_ref[g]
@@ -401,8 +407,8 @@ def _rot_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
     def rot_chunk(dst, src, partner, h):
         """dst <- cos(B) src + sin(B) roll_xc(perm(partner)) per plane."""
-        B = ang * ctx.field("re", h, C)
-        c, s = jnp.cos(B), jnp.sin(B)
+        F = ctx.field("re", h, C)
+        c, s = rot_cos_sin(ang, F, fmode)
         dst[0] = c * src[0] + s * ctx.perm(partner[0])
         dst[1] = c * src[1] + s * ctx.perm(partner[1])
 
@@ -469,7 +475,7 @@ def _rot_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 def apply_grouped_ops_stream(psi, theta, x_huge, mb, n_outer, x_chunk, x_mid,
                              x_lane, op, z_r, z_c, cre,
                              interpret: Optional[bool] = None,
-                             chunk_bits: int = CHUNK_BITS):
+                             chunk_bits: int = CHUNK_BITS, fmode: int = 0):
     """Whole-ansatz rotation sweep, state streamed from HBM; psi (2, 2^n)
     f32 -> (2, 2^n) f32 (updated in place via aliasing)."""
     interpret = _resolve_interpret(interpret)
@@ -502,8 +508,9 @@ def apply_grouped_ops_stream(psi, theta, x_huge, mb, n_outer, x_chunk, x_mid,
             pltpu.SemaphoreType.DMA((2, 4)),                 # out sems
         ],
     )
+    from functools import partial as _partial
     out = pl.pallas_call(
-        _rot_stream_kernel,
+        _partial(_rot_stream_kernel, fmode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(psi4.shape, jnp.float32),
         input_output_aliases={10: 0},
@@ -958,7 +965,7 @@ def _perm_batched(X, pmid, plo, xc):
     return _xor_roll(V, xc, 1)
 
 
-def _rot_fused_kernel(xh_ref, mb_ref, nout_ref, ang_ref, xc_ref, xm_ref,
+def _rot_fused_kernel(fmode, xh_ref, mb_ref, nout_ref, ang_ref, xc_ref, xm_ref,
                       xl_ref, act_ref, zr_ref, zc_ref, cre_ref, psi_in_ref,
                       psi_ref, bufA, bufB, pmidS, ploS, smS, wlS, zhiS,
                       sin, sout):
@@ -1046,12 +1053,12 @@ def _rot_fused_kernel(xh_ref, mb_ref, nout_ref, ang_ref, xc_ref, xm_ref,
 
                 @pl.when(xh > 0)
                 def _():
-                    Ba = ang * _field_from(smS, wlS, zhiS, g2, h, C)
-                    Bp = ang * _field_from(smS, wlS, zhiS, g2, h ^ xh, C)
+                    Fa = _field_from(smS, wlS, zhiS, g2, h, C)
+                    Fb = _field_from(smS, wlS, zhiS, g2, h ^ xh, C)
                     X = jnp.stack([A[0], A[1], Bb[0], Bb[1]])
                     P = _perm_batched(X, pmid, plo, xc)
-                    ca, sa = jnp.cos(Ba), jnp.sin(Ba)
-                    cb, sb = jnp.cos(Bp), jnp.sin(Bp)
+                    ca, sa = rot_cos_sin(ang, Fa, fmode)
+                    cb, sb = rot_cos_sin(ang, Fb, fmode)
                     A[0] = ca * A[0] + sa * P[2]
                     A[1] = ca * A[1] + sa * P[3]
                     Bb[0] = cb * Bb[0] + sb * P[0]
@@ -1059,10 +1066,10 @@ def _rot_fused_kernel(xh_ref, mb_ref, nout_ref, ang_ref, xc_ref, xm_ref,
 
                 @pl.when(xh == 0)
                 def _():
-                    Ba = ang * _field_from(smS, wlS, zhiS, g2, h, C)
+                    Fa = _field_from(smS, wlS, zhiS, g2, h, C)
                     X = jnp.stack([A[0], A[1]])
                     P = _perm_batched(X, pmid, plo, xc)
-                    ca, sa = jnp.cos(Ba), jnp.sin(Ba)
+                    ca, sa = rot_cos_sin(ang, Fa, fmode)
                     A[0] = ca * A[0] + sa * P[0]
                     A[1] = ca * A[1] + sa * P[1]
 
@@ -1095,7 +1102,8 @@ def _rot_fused_kernel(xh_ref, mb_ref, nout_ref, ang_ref, xc_ref, xm_ref,
 def apply_grouped_ops_fused(psi, theta, bxh, bmb, bnout, bop, bxc, bxm,
                             bxl, bact, bzr, bzc, bcre,
                             interpret: Optional[bool] = None,
-                            chunk_bits: int = FUSED_CHUNK_BITS):
+                            chunk_bits: int = FUSED_CHUNK_BITS,
+                            fmode: int = 0):
     """Whole-ansatz rotation sweep with consecutive equal-x_huge groups
     fused into one chunk-pair residency per bucket."""
     interpret = _resolve_interpret(interpret)
@@ -1132,8 +1140,9 @@ def apply_grouped_ops_fused(psi, theta, bxh, bmb, bnout, bop, bxc, bxm,
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
+    from functools import partial as _partial
     out = pl.pallas_call(
-        _rot_fused_kernel,
+        _partial(_rot_fused_kernel, fmode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(psi4.shape, jnp.float32),
         input_output_aliases={11: 0},
@@ -1157,7 +1166,7 @@ def apply_grouped_ops_fused(psi, theta, bxh, bmb, bnout, bop, bxc, bxm,
 # Per-group gradient entries accumulate in the (Gcap, LANE) output block
 # (rows indexed dynamically; padded rows stay zero).
 
-def _adj_fused_kernel(xh_ref, mb_ref, nout_ref, ang_ref, xc_ref, xm_ref,
+def _adj_fused_kernel(fmode, xh_ref, mb_ref, nout_ref, ang_ref, xc_ref, xm_ref,
                       xl_ref, act_ref, zr_ref, zc_ref, cre_ref, p_in_ref,
                       l_in_ref, p_ref, l_ref, gt_ref, bufPA, bufPB, bufLA,
                       bufLB, pmidS, ploS, smS, wlS, zhiS, sin, sout):
@@ -1265,7 +1274,6 @@ def _adj_fused_kernel(xh_ref, mb_ref, nout_ref, ang_ref, xc_ref, xm_ref,
                 def _():
                     pha = _field_from(smS, wlS, zhiS, g2, h, C)
                     phb = _field_from(smS, wlS, zhiS, g2, h ^ xh, C)
-                    Ba, Bp = ang * pha, ang * phb
                     X = jnp.stack([PA[0], PA[1], PB[0], PB[1],
                                    LA[0], LA[1], LB[0], LB[1]])
                     P = _perm_batched(X, pmid, plo, xc)
@@ -1273,8 +1281,8 @@ def _adj_fused_kernel(xh_ref, mb_ref, nout_ref, ang_ref, xc_ref, xm_ref,
                                                 + LA[1] * P[3]))
                                  + jnp.sum(phb * (LB[0] * P[0]
                                                   + LB[1] * P[1])))
-                    ca, sa = jnp.cos(Ba), jnp.sin(Ba)
-                    cb, sb = jnp.cos(Bp), jnp.sin(Bp)
+                    ca, sa = rot_cos_sin(ang, pha, fmode)
+                    cb, sb = rot_cos_sin(ang, phb, fmode)
                     PA[0] = ca * PA[0] - sa * P[2]
                     PA[1] = ca * PA[1] - sa * P[3]
                     PB[0] = cb * PB[0] - sb * P[0]
@@ -1288,12 +1296,11 @@ def _adj_fused_kernel(xh_ref, mb_ref, nout_ref, ang_ref, xc_ref, xm_ref,
                 @pl.when(xh == 0)
                 def _():
                     pha = _field_from(smS, wlS, zhiS, g2, h, C)
-                    Ba = ang * pha
                     X = jnp.stack([PA[0], PA[1], LA[0], LA[1]])
                     P = _perm_batched(X, pmid, plo, xc)
                     gt = -2.0 * jnp.sum(pha * (LA[0] * P[0]
                                                + LA[1] * P[1]))
-                    ca, sa = jnp.cos(Ba), jnp.sin(Ba)
+                    ca, sa = rot_cos_sin(ang, pha, fmode)
                     PA[0] = ca * PA[0] - sa * P[0]
                     PA[1] = ca * PA[1] - sa * P[1]
                     LA[0] = ca * LA[0] - sa * P[2]
@@ -1329,7 +1336,8 @@ def _adj_fused_kernel(xh_ref, mb_ref, nout_ref, ang_ref, xc_ref, xm_ref,
 def adjoint_sweep_fused(p, lam, theta, bxh, bmb, bnout, bop, bxc, bxm, bxl,
                         bact, bzr, bzc, bcre,
                         interpret: Optional[bool] = None,
-                        chunk_bits: int = FUSED_CHUNK_BITS):
+                        chunk_bits: int = FUSED_CHUNK_BITS,
+                        fmode: int = 0):
     """Reversible adjoint with residency fusion; bucket arrays must be in
     REVERSED group order.  Returns (p_prev, lam_prev, per-(bucket, slot)
     gradient rows (B, Gcap))."""
@@ -1373,8 +1381,9 @@ def adjoint_sweep_fused(p, lam, theta, bxh, bmb, bnout, bop, bxc, bxm, bxl,
                pltpu.SemaphoreType.DMA((2, 8)),
                pltpu.SemaphoreType.DMA((2, 8))]),
     )
+    from functools import partial as _partial
     p_out, l_out, gts = pl.pallas_call(
-        _adj_fused_kernel,
+        _partial(_adj_fused_kernel, fmode),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct(p4.shape, jnp.float32),
                    jax.ShapeDtypeStruct(l4.shape, jnp.float32),
@@ -2145,8 +2154,9 @@ def build_streaming_pool_gradient_fn(gpool, lham, seg: Optional[int] = None):
 
 # ------------------------------------------------------- reversible adjoint
 
-def _adj_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
-                       ang_ref, zr_ref, zc_ref, cre_ref, p_in_ref, l_in_ref,
+def _adj_stream_kernel(fmode, xh_ref, mb_ref, nout_ref, xc_ref, xm_ref,
+                       xl_ref, ang_ref, zr_ref, zc_ref, cre_ref, p_in_ref,
+                       l_in_ref,
                        p_ref, l_ref, gt_ref, bufPA, bufPB, bufLA, bufLB,
                        outPA, outPB, outLA, outLB, gacc, sin, sout):
     g = pl.program_id(0)
@@ -2205,8 +2215,7 @@ def _adj_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
         """Un-rotate chunk (srcP, srcL) given partner chunks (pP, pL) and
         accumulate the gradient contribution of its tiles."""
         ph = ctx.field("re", h, C)
-        B = ang * ph
-        c, sn = jnp.cos(B), jnp.sin(B)
+        c, sn = rot_cos_sin(ang, ph, fmode)
         pxp0 = ctx.perm(pP[0])
         pxp1 = ctx.perm(pP[1])
         gt = -2.0 * jnp.sum(ph * (srcL[0] * pxp0 + srcL[1] * pxp1))
@@ -2291,7 +2300,7 @@ def _adj_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 def adjoint_sweep_stream(p, lam, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
                          angles, z_r, z_c, cre,
                          interpret: Optional[bool] = None,
-                         chunk_bits: int = ADJ_CHUNK_BITS):
+                         chunk_bits: int = ADJ_CHUNK_BITS, fmode: int = 0):
     """Reversible adjoint over grouped rotations, both states streamed from
     HBM; operands must be passed in REVERSED group order.  Returns
     (p_prev, lam_prev, per-group gradient entries); angles = -theta[op] per
@@ -2334,8 +2343,9 @@ def adjoint_sweep_stream(p, lam, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
                pltpu.SemaphoreType.DMA((2, 8)),
                pltpu.SemaphoreType.DMA((2, 8))]),
     )
+    from functools import partial as _partial
     p_out, l_out, gts = pl.pallas_call(
-        _adj_stream_kernel,
+        _partial(_adj_stream_kernel, fmode),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct(p4.shape, jnp.float32),
                    jax.ShapeDtypeStruct(l4.shape, jnp.float32),
@@ -2460,22 +2470,25 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
 
     fuse = _fuse_policy("seq")
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def _rot_seg(psi, theta, xh, mb_, nout, xc, xm, xl, op, zr, zc, cre):
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(12,))
+    def _rot_seg(psi, theta, xh, mb_, nout, xc, xm, xl, op, zr, zc, cre,
+                 fmode=0):
         return apply_grouped_ops_stream(psi, theta, xh, mb_, nout, xc, xm,
-                                        xl, op, zr, zc, cre)
+                                        xl, op, zr, zc, cre, fmode=fmode)
 
-    @partial(jax.jit, donate_argnums=(0,))
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(13,))
     def _rotb_seg(psi, theta, bxh, bmb, bnout, bop, bxc, bxm, bxl, bact,
-                  bzr, bzc, bcre):
+                  bzr, bzc, bcre, fmode=0):
         return apply_grouped_ops_fused(psi, theta, bxh, bmb, bnout, bop,
-                                       bxc, bxm, bxl, bact, bzr, bzc, bcre)
+                                       bxc, bxm, bxl, bact, bzr, bzc, bcre,
+                                       fmode=fmode)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(14,))
     def _adjb_seg(p, l, theta, bxh, bmb, bnout, bop, bxc, bxm, bxl, bact,
-                  bzr, bzc, bcre):
+                  bzr, bzc, bcre, fmode=0):
         return adjoint_sweep_fused(p, l, theta, bxh, bmb, bnout, bop, bxc,
-                                   bxm, bxl, bact, bzr, bzc, bcre)
+                                   bxm, bxl, bact, bzr, bzc, bcre,
+                                   fmode=fmode)
 
     @partial(jax.jit, donate_argnums=(0,))
     def _grad_addb(grad, bop, bact, gts):
@@ -2492,11 +2505,12 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
         return expectation_stream(psi, xh, mb_, nout, xc, xm, xl,
                                   zr, zc, cre, cim)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def _adj_seg(p, l, theta, xh, mb_, nout, xc, xm, xl, op, zr, zc, cre):
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(13,))
+    def _adj_seg(p, l, theta, xh, mb_, nout, xc, xm, xl, op, zr, zc, cre,
+                 fmode=0):
         angles = -jnp.asarray(theta, jnp.float32)[op]
         p, l, gts = adjoint_sweep_stream(p, l, xh, mb_, nout, xc, xm, xl,
-                                         angles, zr, zc, cre)
+                                         angles, zr, zc, cre, fmode=fmode)
         return p, l, gts
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -2511,7 +2525,8 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
         bound).  OVQE_STREAM_FUSE=0 restores the per-group kernels (which
         stream the adjoint at half-size chunks)."""
         if gseq is None or gseq.n_groups == 0:
-            return {"mode": "plain", "fwd": [], "adj": []}
+            return {"mode": "plain", "fwd": [], "adj": [], "fmode": 0}
+        fm = getattr(gseq, "fmode", 0)
         if fuse:
             sd = stream_seq_data(gseq, chunk_bits=FUSED_CHUNK_BITS)
             sd_rev = _reverse_sd(sd)
@@ -2521,7 +2536,7 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
                    for s in _bucket_segments(fb, seg, act_idx=7)]
             adj = [tuple(jnp.asarray(a) for a in s)
                    for s in _bucket_segments(ab, seg2, act_idx=7)]
-            return {"mode": "fused", "fwd": fwd, "adj": adj}
+            return {"mode": "fused", "fwd": fwd, "adj": adj, "fmode": fm}
         fwd_args = seq_stream_args(stream_seq_data(gseq))
         adj_args = seq_stream_args(
             stream_seq_data(gseq, chunk_bits=ADJ_CHUNK_BITS))
@@ -2530,7 +2545,7 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
         rev = [tuple(jnp.asarray(np.ascontiguousarray(np.asarray(a)[::-1]))
                      for a in s)
                for s in reversed(_segments(adj_args, seg2))]
-        return {"mode": "plain", "fwd": fwd, "adj": rev}
+        return {"mode": "plain", "fwd": fwd, "adj": rev, "fmode": fm}
 
     @jax.jit
     def _fresh_copy(x):
@@ -2544,8 +2559,9 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
             psi = jnp.asarray(np.asarray(psi0, np.float32))
         theta = jnp.asarray(np.asarray(theta, np.float32))
         rot = _rotb_seg if prepared["mode"] == "fused" else _rot_seg
+        fm = prepared.get("fmode", 0)
         for s in prepared["fwd"]:
-            psi = rot(psi, theta, *s)
+            psi = rot(psi, theta, *s, fm)
         return psi
 
     @partial(jax.jit, donate_argnums=(1,))
@@ -2592,13 +2608,14 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
         n_params = int(np.shape(theta)[0])
         grad = jnp.zeros(n_params, jnp.float32)
         p, l = psi, lam
+        fm = prepared.get("fmode", 0)
         if prepared["mode"] == "fused":
             for s in prepared["adj"]:
-                p, l, gts = _adjb_seg(p, l, theta_f, *s)
+                p, l, gts = _adjb_seg(p, l, theta_f, *s, fm)
                 grad = _grad_addb(grad, s[3], s[7], gts)
         else:
             for s in prepared["adj"]:
-                p, l, gts = _adj_seg(p, l, theta_f, *s)
+                p, l, gts = _adj_seg(p, l, theta_f, *s, fm)
                 grad = _grad_add(grad, s[6], gts)
         return e, np.asarray(grad, dtype=float)
 
