@@ -114,10 +114,11 @@ def main():
         if budget_left() > 180:
             from openvqe_tpu.apps.quantum_batteries.cs_vqe import run_cs_vqe
 
-            r = run_cs_vqe(layers=(4,), num_iterations=5, qubit_counts=(6,),
-                           verbose=False)
+            r = run_cs_vqe(layers=(4,), num_iterations=20, qubit_counts=(6,),
+                           optimizer="lbfgs-fused", verbose=False)
             v = r["mean_durations"][4][0]
-            rows.append({"metric": "CS-VQE HEA-4 6q s/experiment (n=5)",
+            rows.append({"metric": "CS-VQE HEA-4 6q s/experiment (n=20, "
+                                   "fused)",
                          "value": round(v, 4),
                          "baseline_s": BASELINES["cs_vqe_hea4_6q"],
                          "speedup": round(BASELINES["cs_vqe_hea4_6q"] / v, 2),

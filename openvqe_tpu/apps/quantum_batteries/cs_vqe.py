@@ -55,13 +55,20 @@ def build_hea_energy(ham: PauliSum, num_layers: int, hf: Optional[str]):
 
 
 def build_fused_hea_vqe(ham: PauliSum, num_layers: int, hf: Optional[str],
-                        tol: float = 1e-5, maxiter: int = 500):
+                        tol: float = 3e-4, maxiter: int = 500):
     """The ENTIRE HEA optimization as one jitted program (jit-resident
     L-BFGS with zoom linesearch): one device call per experiment instead of
     one per scipy evaluation — the same fusion that carries the CS-ADAPT
     headline row.  The optimizer sees the energy WITHOUT the -3683 Ha
     identity offset (f32 line searches plateau otherwise); the constant is
-    re-added for reporting."""
+    re-added for reporting.
+
+    The default gradient tolerance is NOISE-MATCHED: the HEA-4 model error
+    floor on these contextual Hamiltonians is ~0.11 Ha above CCSD (rel err
+    3.0e-05, every restart converges there), so driving the f32 gradient
+    below ~3e-4 only spins the while_loop at the rounding floor — measured
+    on v5e at 6 qubits: tol=1e-5 takes 8.8 s/experiment, tol=3e-4 takes
+    0.046 s at IDENTICAL converged energies."""
     from ...sim import grouped as gr
 
     n = ham.nbqbits
@@ -78,7 +85,8 @@ def build_fused_hea_vqe(ham: PauliSum, num_layers: int, hf: Optional[str],
 
     @jax.jit
     def run(x0):
-        x, e, _ = lbfgs_minimize(energy, x0, tol=tol, maxiter=maxiter)
+        x, e, _ = lbfgs_minimize(energy, x0, tol=tol, maxiter=maxiter,
+                                 patience=25, ftol=1e-5)
         return x, e + const
 
     return run
@@ -128,8 +136,15 @@ def run_cs_vqe(layers: Sequence[int] = (4, 8, 12), num_iterations: int = 20,
             fused = optimizer in ("lbfgs-fused", "fused")
             if fused:
                 fused_run = build_fused_hea_vqe(ham, num_layers, hf)
-                out = fused_run(jnp.zeros(parameter_count))
-                jax.block_until_ready(out[0])     # compile warm-up
+                # warm with a REPRESENTATIVE draw and force the energy
+                # scalar: on the axon backend the first nontrivial
+                # execution pays a large one-time runtime cost that a
+                # zeros-input warmup does not absorb (measured 38 s, then
+                # 0.04 s steady-state)
+                warm_rng = np.random.RandomState(987)
+                for w in (jnp.zeros(parameter_count),
+                          jnp.asarray(warm_rng.uniform(size=parameter_count))):
+                    float(fused_run(w)[1])
             else:
                 energy_fn, grad_fn = build_hea_energy(ham, num_layers, hf)
                 # warm the jit cache so timings measure the optimization
