@@ -94,3 +94,41 @@ def test_fused_rotoselect_matches_host_loop():
     assert np.array_equal(np.asarray(g_f), g_ref)
     assert np.allclose(np.asarray(p_f), p_ref, atol=1e-9)
     assert abs(e_f - e_ref) < 1e-10
+
+
+def test_lbfgs_plateau_stop():
+    """lbfgs_minimize(patience=...) must stop on a value plateau well
+    before maxiter when the gradient norm cannot reach tol (the f32
+    rounding-floor scenario that burned the CS-VQE budget), at the same
+    minimum."""
+    import jax.numpy as jnp
+    from openvqe_tpu.optim.minimize import lbfgs_minimize
+
+    def rosen(x):
+        return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2
+                       + (1.0 - x[:-1]) ** 2)
+
+    x0 = jnp.zeros(4)
+    x_ref, f_ref, it_ref = lbfgs_minimize(rosen, x0, tol=0.0, maxiter=400)
+    x_pl, f_pl, it_pl = lbfgs_minimize(rosen, x0, tol=0.0, maxiter=400,
+                                       patience=10, ftol=1e-9)
+    assert int(it_ref) == 400          # tol=0 never met: full budget
+    assert int(it_pl) < 400            # plateau stop fired early
+    assert abs(float(f_pl) - float(f_ref)) < 1e-6
+
+
+def test_fused_cs_vqe_cpu_matches_scipy():
+    """Fused HEA VQE (plateau L-BFGS) reaches the scipy-BFGS energy on the
+    smallest contextual Hamiltonian."""
+    import numpy as np
+    from openvqe_tpu.apps.quantum_batteries.cs_vqe import (
+        build_fused_hea_vqe, build_hea_energy, run_single_vqe)
+    from openvqe_tpu.apps.quantum_batteries.utils import load_cs_hams
+
+    ham, hf = load_cs_hams()[2]
+    rng = np.random.RandomState(0)
+    x0 = rng.uniform(size=(4 + 1) * 2)
+    e_scipy, _ = run_single_vqe(ham, 4, hf, x0, optimizer="BFGS")
+    import jax.numpy as jnp
+    _, e_fused = build_fused_hea_vqe(ham, 4, hf)(jnp.asarray(x0))
+    assert abs(float(e_fused) - e_scipy) < 1e-4
