@@ -42,27 +42,38 @@ def main():
     n_atoms = int(sys.argv[1]) if len(sys.argv) > 1 else 15
     charge = n_atoms % 2
     t0 = time.time()
-    from openvqe_tpu.chem.frontend import compute_molecule
-    from openvqe_tpu.ops.generators import uccsd as uccsd_gen
-    from openvqe_tpu.ops.hamiltonian import (
-        ElectronicStructureHamiltonian, convert_to_h_integrals)
-    from openvqe_tpu.sim.compile import compile_op_sequence, compile_pauli_sum
+    cache = f"/tmp/ovqe_30q_setup_H{n_atoms}.pkl"
+    import os
+    import pickle
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            gseq, gham, e_hf, hf_init, theta0, n = pickle.load(f)
+    else:
+        from openvqe_tpu.chem.frontend import compute_molecule
+        from openvqe_tpu.ops.generators import uccsd as uccsd_gen
+        from openvqe_tpu.ops.hamiltonian import (
+            ElectronicStructureHamiltonian, convert_to_h_integrals)
+        from openvqe_tpu.sim.compile import (compile_op_sequence,
+                                             compile_pauli_sum)
 
-    md = compute_molecule(
-        [("H", (0, 0, 1.0 * k)) for k in range(n_atoms)], "sto-3g",
-        charge=charge, spin=0, run_fci_flag=False)
-    hpq, hpqrs = convert_to_h_integrals(md.one_body_integrals,
-                                        md.two_body_integrals)
-    esh = ElectronicStructureHamiltonian(hpq, hpqrs, md.nuclear_repulsion)
-    hsp = esh.to_spin("JW")
-    n = hsp.nbqbits
-    _, _, pool, theta0, hf_init = uccsd_gen(
-        esh, md.n_elec, [0] * n,
-        [e for e in md.orbital_energies for _ in range(2)], "JW")
-    gens = [op * 1j for op in pool]   # reference x1j convention (ucc.py:31)
-    gseq = gr.group_op_sequence(compile_op_sequence(gens, n))
-    gham = gr.group_pauli_sum(compile_pauli_sum(hsp, n))
-    e_hf = float(md.info["HF"])
+        md = compute_molecule(
+            [("H", (0, 0, 1.0 * k)) for k in range(n_atoms)], "sto-3g",
+            charge=charge, spin=0, run_fci_flag=False)
+        hpq, hpqrs = convert_to_h_integrals(md.one_body_integrals,
+                                            md.two_body_integrals)
+        esh = ElectronicStructureHamiltonian(hpq, hpqrs,
+                                             md.nuclear_repulsion)
+        hsp = esh.to_spin("JW")
+        n = hsp.nbqbits
+        _, _, pool, theta0, hf_init = uccsd_gen(
+            esh, md.n_elec, [0] * n,
+            [e for e in md.orbital_energies for _ in range(2)], "JW")
+        gens = [op * 1j for op in pool]   # reference x1j (ucc.py:31)
+        gseq = gr.group_op_sequence(compile_op_sequence(gens, n))
+        gham = gr.group_pauli_sum(compile_pauli_sum(hsp, n))
+        e_hf = float(md.info["HF"])
+        with open(cache, "wb") as f:
+            pickle.dump((gseq, gham, e_hf, hf_init, theta0, n), f)
     print(json.dumps({"system": f"H{n_atoms}{'+' if charge else ''}",
                       "qubits": n, "ops": gseq.n_ops,
                       "rot_groups": gseq.n_groups,
@@ -74,35 +85,38 @@ def main():
     seg = st.stream_segment_groups(n)
     fm = gseq.fmode
 
+    # psi stays in the TILED pallas-native shape (2, T, 128, 128) across
+    # the whole host loop: reshape-bitcasts at the jit boundary around the
+    # donated+aliased pallas pair made XLA materialize a defensive 8 GB
+    # full-state copy (OOM on one chip at 30q)
+    T = 1 << (n - st.TILE_BITS)
+
     @partial(jax.jit, donate_argnums=(0,), static_argnums=(12,))
-    def rot_seg(psi, theta, xh, mb_, nout, xc, xm, xl, op, zr, zc, cre,
+    def rot_seg(psi4, theta, xh, mb_, nout, xc, xm, xl, op, zr, zc, cre,
                 fmode=0):
-        return st.apply_grouped_ops_stream(psi, theta, xh, mb_, nout, xc,
-                                           xm, xl, op, zr, zc, cre,
-                                           fmode=fmode)
+        return st.apply_grouped_ops_stream4(psi4, theta, xh, mb_, nout, xc,
+                                            xm, xl, op, zr, zc, cre,
+                                            fmode=fmode)
 
     @jax.jit
-    def exp_seg(psi, xh, mb_, nout, xc, xm, xl, zr, zc, cre, cim):
-        return st.expectation_stream(psi, xh, mb_, nout, xc, xm, xl,
-                                     zr, zc, cre, cim)
+    def exp_seg(psi4, xh, mb_, nout, xc, xm, xl, zr, zc, cre, cim):
+        return st.expectation_stream4(psi4, xh, mb_, nout,
+                                      xc, xm, xl, zr, zc, cre, cim)
 
-    zd, adr = gham.z_diag, gham.a_diag_re
+    zd, adr, adi = gham.z_diag, gham.a_diag_re, gham.a_diag_im
     c_re = np.float32(gham.c_re)
 
     @jax.jit
-    def diag_expect(psi):
-        R, lanes = gr._lane_split(n)
-        acc = c_re * jnp.sum(psi * psi)
-        if len(zd):
-            p2 = (psi[0] * psi[0] + psi[1] * psi[1]).reshape(R, lanes)
-            acc = acc + jnp.sum(jnp.asarray(adr, psi.dtype)
-                                * gr._group_bilinear(p2, zd, n))
-        return acc
+    def diag_expect(psi4):
+        # constant term only; the z-diagonal terms run through the
+        # STREAMING expectation kernel as x=0 groups below — the XLA
+        # bilinear materializes an (R, Kd) sign matrix (13.6 GB at 30q)
+        return c_re * jnp.sum(psi4 * psi4)
 
     @jax.jit
     def make_hf():
         psi = jnp.zeros((2, 1 << n), jnp.float32)
-        return psi.at[0, hf_init].set(1.0)
+        return psi.at[0, hf_init].set(1.0).reshape(2, T, st.SUB, st.LANE)
 
     fwd_segments = [tuple(jnp.asarray(a) for a in s)
                     for s in st._segments(
@@ -111,6 +125,24 @@ def main():
     h_segments = [tuple(jnp.asarray(a) for a in s)
                   for s in st._segments(
                       st.ham_stream_args(st.stream_ham_data(gham)), seg2)]
+    if len(zd):
+        # z-diagonal terms as x=0 streaming groups (K=64 rows per group)
+        Kd = 64
+        Gd = -(-len(zd) // Kd)
+        zrows = np.zeros((Gd, Kd), np.int64)
+        crows = np.zeros((Gd, Kd), np.float32)
+        cirows = np.zeros((Gd, Kd), np.float32)
+        for g in range(Gd):
+            sl = slice(g * Kd, min((g + 1) * Kd, len(zd)))
+            m = sl.stop - sl.start
+            zrows[g, :m] = zd[sl]
+            crows[g, :m] = adr[sl]
+            cirows[g, :m] = adi[sl]
+        sd_diag = st.build_stream_data(n, np.zeros(Gd, np.int64), zrows,
+                                       crows, coef_im=cirows)
+        h_segments += [tuple(jnp.asarray(a) for a in s)
+                       for s in st._segments(st.ham_stream_args(sd_diag),
+                                             seg2)]
 
     def energy(theta):
         psi = make_hf()

@@ -478,12 +478,30 @@ def apply_grouped_ops_stream(psi, theta, x_huge, mb, n_outer, x_chunk, x_mid,
                              chunk_bits: int = CHUNK_BITS, fmode: int = 0):
     """Whole-ansatz rotation sweep, state streamed from HBM; psi (2, 2^n)
     f32 -> (2, 2^n) f32 (updated in place via aliasing)."""
-    interpret = _resolve_interpret(interpret)
-    G, K = z_c.shape[0], z_c.shape[-1]
     N = psi.shape[-1]
     T = N >> TILE_BITS
-    C = 1 << chunk_bits
     psi4 = jnp.asarray(psi, jnp.float32).reshape(2, T, SUB, LANE)
+    out = apply_grouped_ops_stream4(psi4, theta, x_huge, mb, n_outer,
+                                    x_chunk, x_mid, x_lane, op, z_r, z_c,
+                                    cre, interpret=interpret,
+                                    chunk_bits=chunk_bits, fmode=fmode)
+    return out.reshape(2, N)
+
+
+def apply_grouped_ops_stream4(psi4, theta, x_huge, mb, n_outer, x_chunk,
+                              x_mid, x_lane, op, z_r, z_c, cre,
+                              interpret: Optional[bool] = None,
+                              chunk_bits: int = CHUNK_BITS, fmode: int = 0):
+    """Rotation sweep on the TILED state view (2, T, 128, 128) with no
+    reshape at the jit boundary.  At 30 qubits the 2D wrapper's
+    reshape-bitcasts around the donated+aliased pallas pair made XLA's
+    buffer assignment materialize a DEFENSIVE full-state copy (an 8 GB HLO
+    temp on top of the 8 GB aliased argument — OOM on one v5e); keeping
+    the pallas-native shape across the host loop lets the donated
+    parameter feed the aliased operand directly."""
+    interpret = _resolve_interpret(interpret)
+    G, K = z_c.shape[0], z_c.shape[-1]
+    C = 1 << chunk_bits
     angles = -jnp.asarray(theta, jnp.float32)[jnp.asarray(op)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -520,7 +538,7 @@ def apply_grouped_ops_stream(psi, theta, x_huge, mb, n_outer, x_chunk, x_mid,
     )(jnp.asarray(x_huge), jnp.asarray(mb), jnp.asarray(n_outer),
       jnp.asarray(x_chunk), jnp.asarray(x_mid), jnp.asarray(x_lane), angles,
       jnp.asarray(z_r), jnp.asarray(z_c), jnp.asarray(cre), psi4)
-    return out.reshape(2, N)
+    return out
 
 
 # ----------------------------------------------------------- expectation
@@ -607,12 +625,23 @@ def expectation_stream(psi, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
                        chunk_bits: int = CHUNK_BITS):
     """Off-diagonal grouped <psi|H|psi> contribution, state streamed from
     HBM (diagonal + constant are cheap single XLA passes)."""
-    interpret = _resolve_interpret(interpret)
-    G, K = z_c.shape[0], z_c.shape[-1]
     N = psi.shape[-1]
     T = N >> TILE_BITS
-    C = 1 << chunk_bits
     psi4 = jnp.asarray(psi, jnp.float32).reshape(2, T, SUB, LANE)
+    return expectation_stream4(psi4, x_huge, mb, n_outer, x_chunk, x_mid,
+                               x_lane, z_r, z_c, cre, cim,
+                               interpret=interpret, chunk_bits=chunk_bits)
+
+
+def expectation_stream4(psi4, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
+                        z_r, z_c, cre, cim,
+                        interpret: Optional[bool] = None,
+                        chunk_bits: int = CHUNK_BITS):
+    """As expectation_stream on the TILED (2, T, 128, 128) state view —
+    no boundary reshape (a layout-changing 8 GB copy at 30 qubits)."""
+    interpret = _resolve_interpret(interpret)
+    G, K = z_c.shape[0], z_c.shape[-1]
+    C = 1 << chunk_bits
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -1475,10 +1504,10 @@ def build_ham_buckets(gham, gcap: int = HAM_BUCKET_CAP,
     return base if bze is None else base + (bze,)
 
 
-def _ham_bucket_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
-                       act_ref, zr_ref, zc_ref, cre_ref, cim_ref, psi_ref,
-                       acc_in_ref, acc_ref, bufA, bufB, accA, accB, sin,
-                       sout):
+def _ham_bucket_kernel(unroll, xh_ref, mb_ref, nout_ref, xc_ref, xm_ref,
+                       xl_ref, act_ref, zr_ref, zc_ref, cre_ref, cim_ref,
+                       psi_ref, acc_in_ref, acc_ref, bufA, bufB, accA, accB,
+                       sin, sout):
     b = pl.program_id(0)
     xh = xh_ref[b]
     mb = mb_ref[b]
@@ -1580,7 +1609,16 @@ def _ham_bucket_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
             return 0
 
-        jax.lax.fori_loop(0, Gcap, group_body, 0)
+        if unroll:
+            # static unroll: H groups in a bucket are independent reads of
+            # the SAME resident chunks — straight-line code lets Mosaic
+            # overlap their permutation/field matmuls, which the dynamic
+            # fori_loop sequences (the H pass is compute-bound ~23x above
+            # its DMA floor at 24q)
+            for g2s in range(Gcap):
+                group_body(g2s, 0)
+        else:
+            jax.lax.fori_loop(0, Gcap, group_body, 0)
 
         _start(out_dmas(i, "a"))
 
@@ -1606,10 +1644,15 @@ def _ham_bucket_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
 def ham_apply_bucketed(psi, acc, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
                        bzc, bcre, bcim, interpret: Optional[bool] = None,
-                       chunk_bits: int = CHUNK_BITS):
+                       chunk_bits: int = CHUNK_BITS,
+                       unroll: Optional[bool] = None):
     """acc += (off-diagonal grouped H)|psi> with groups BUCKETED by x_huge:
-    one state pass per bucket instead of per group."""
+    one state pass per bucket instead of per group.  ``unroll`` statically
+    unrolls the in-bucket group loop (OVQE_HAM_UNROLL=1 enables; default
+    off pending hardware measurement)."""
     interpret = _resolve_interpret(interpret)
+    if unroll is None:
+        unroll = _os.environ.get("OVQE_HAM_UNROLL", "0") == "1"
     B, Gcap, K = bzc.shape[0], bzc.shape[1], bzc.shape[-1]
     N = psi.shape[-1]
     T = N >> TILE_BITS
@@ -1642,8 +1685,9 @@ def ham_apply_bucketed(psi, acc, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
+    from functools import partial as _partial
     out = pl.pallas_call(
-        _ham_bucket_kernel,
+        _partial(_ham_bucket_kernel, bool(unroll)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(acc4.shape, jnp.float32),
         input_output_aliases={12: 0},
