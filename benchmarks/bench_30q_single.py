@@ -103,20 +103,24 @@ def main():
         return st.expectation_stream4(psi4, xh, mb_, nout,
                                       xc, xm, xl, zr, zc, cre, cim)
 
-    zd, adr, adi = gham.z_diag, gham.a_diag_re, gham.a_diag_im
-    c_re = np.float32(gham.c_re)
+    # constant + z-diagonal terms ALL run through the streaming
+    # expectation kernel as x=0 groups (a z=0 row has field == 1, i.e.
+    # contributes c_re <psi|psi> exactly): at 30q the XLA alternatives
+    # materialize full-state temps (psi*psi before the reduce; an (R, Kd)
+    # sign matrix for the bilinear)
+    zd = np.concatenate([[0], gham.z_diag]).astype(np.int64)
+    adr = np.concatenate([[gham.c_re], gham.a_diag_re]).astype(np.float32)
+    adi = np.concatenate([[0.0], gham.a_diag_im]).astype(np.float32)
 
-    @jax.jit
-    def diag_expect(psi4):
-        # constant term only; the z-diagonal terms run through the
-        # STREAMING expectation kernel as x=0 groups below — the XLA
-        # bilinear materializes an (R, Kd) sign matrix (13.6 GB at 30q)
-        return c_re * jnp.sum(psi4 * psi4)
+    # build the HF one-hot DIRECTLY in the tiled shape: a flat zeros +
+    # reshape materializes a second 8 GB copy on this backend (OOM)
+    hf_t, hf_r = divmod(int(hf_init), st.SUB * st.LANE)
+    hf_s, hf_l = divmod(hf_r, st.LANE)
 
     @jax.jit
     def make_hf():
-        psi = jnp.zeros((2, 1 << n), jnp.float32)
-        return psi.at[0, hf_init].set(1.0).reshape(2, T, st.SUB, st.LANE)
+        psi = jnp.zeros((2, T, st.SUB, st.LANE), jnp.float32)
+        return psi.at[0, hf_t, hf_s, hf_l].set(1.0)
 
     fwd_segments = [tuple(jnp.asarray(a) for a in s)
                     for s in st._segments(
@@ -126,7 +130,7 @@ def main():
                   for s in st._segments(
                       st.ham_stream_args(st.stream_ham_data(gham)), seg2)]
     if len(zd):
-        # z-diagonal terms as x=0 streaming groups (K=64 rows per group)
+        # constant + z-diagonal terms as x=0 streaming groups
         Kd = 64
         Gd = -(-len(zd) // Kd)
         zrows = np.zeros((Gd, Kd), np.int64)
@@ -149,7 +153,7 @@ def main():
         theta = jnp.asarray(np.asarray(theta, np.float32))
         for s in fwd_segments:
             psi = rot_seg(psi, theta, *s, fm)
-        acc = diag_expect(psi)
+        acc = jnp.float32(0.0)
         for s in h_segments:
             acc = acc + exp_seg(psi, *s)
         return float(acc)
