@@ -206,6 +206,14 @@ _STREAM_MM = _os.environ.get("OVQE_STREAM_MM", "bf16x3").lower()
 if _STREAM_MM not in ("bf16x3", "highest"):
     raise ValueError(f"OVQE_STREAM_MM must be bf16x3|highest, got {_STREAM_MM}")
 
+# Timing-attribution probes (WRONG NUMERICS — benchmarks/probe_streaming.py
+# only): "noperm" short-circuits the permutation matmuls, "nofield" the
+# sign/weight field build, isolating MXU vs VPU vs DMA cost per group.
+_STREAM_PROBE = _os.environ.get("OVQE_STREAM_PROBE", "").lower()
+if _STREAM_PROBE not in ("", "noperm", "nofield", "copyonly"):
+    raise ValueError(f"OVQE_STREAM_PROBE must be empty|noperm|nofield|"
+                     f"copyonly, got {_STREAM_PROBE}")
+
 
 def _split_limbs(x, limbs: int = 3):
     """f32 -> bf16 limbs by BITMASK truncation (the textbook ``x - bf16(x)``
@@ -303,6 +311,8 @@ class _GroupCtx:
         permutes the PERMUTED limbs (lossless casts) instead of re-splitting
         the f32 intermediate — 6 bf16 MXU passes, bitwise-exact, half the
         VPU split traffic."""
+        if _STREAM_PROBE == "noperm":
+            return X
         if _STREAM_MM == "highest":
             U = _mm(X, self.pmid, ((1,), (0,)))
             V = _mm(U, self.plo, ((1,), (0,)))
@@ -322,6 +332,8 @@ class _GroupCtx:
     def field(self, W, h, C):
         """(C, 128, 128) sign/weight field for tiles h*C + [0..C):
         F[i] = SM @ (srow_i * W) as one C-batched MXU op."""
+        if _STREAM_PROBE == "nofield":
+            return jnp.ones((C, SUB, LANE), jnp.float32)
         ti = jax.lax.broadcasted_iota(jnp.int32, (C, self.zhi_row.shape[-1]),
                                       0) + h * C
         srow = _parity_sign(ti & self.zhi_row)          # (C, K)
@@ -407,6 +419,10 @@ def _rot_stream_kernel(fmode, xh_ref, mb_ref, nout_ref, xc_ref, xm_ref,
 
     def rot_chunk(dst, src, partner, h):
         """dst <- cos(B) src + sin(B) roll_xc(perm(partner)) per plane."""
+        if _STREAM_PROBE == "copyonly":        # DMA+loop floor (timing only)
+            dst[0] = src[0]
+            dst[1] = src[1]
+            return
         F = ctx.field("re", h, C)
         c, s = rot_cos_sin(ang, F, fmode)
         dst[0] = c * src[0] + s * ctx.perm(partner[0])
