@@ -101,7 +101,8 @@ def main():
     @jax.jit
     def exp_seg(psi4, xh, mb_, nout, xc, xm, xl, zr, zc, cre, cim):
         return st.expectation_stream4(psi4, xh, mb_, nout,
-                                      xc, xm, xl, zr, zc, cre, cim)
+                                      xc, xm, xl, zr, zc, cre, cim,
+                                      herm=True)
 
     # constant + z-diagonal terms ALL run through the streaming
     # expectation kernel as x=0 groups (a z=0 row has field == 1, i.e.

@@ -559,9 +559,9 @@ def apply_grouped_ops_stream4(psi4, theta, x_huge, mb, n_outer, x_chunk,
 
 # ----------------------------------------------------------- expectation
 
-def _expect_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
-                          zr_ref, zc_ref, cre_ref, cim_ref, psi_ref, out_ref,
-                          bufA, bufB, eacc, sin):
+def _expect_stream_kernel(herm, xh_ref, mb_ref, nout_ref, xc_ref, xm_ref,
+                          xl_ref, zr_ref, zc_ref, cre_ref, cim_ref, psi_ref,
+                          out_ref, bufA, bufB, eacc, sin):
     g = pl.program_id(0)
 
     @pl.when(g == 0)
@@ -623,8 +623,19 @@ def _expect_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
         @pl.when(xh > 0)
         def _():
             _wait(in_dmas(i, "b"))
-            eacc[0, 0] += (contrib(bufA.at[slot], bufB.at[slot], h)
-                           + contrib(bufB.at[slot], bufA.at[slot], h ^ xh))
+            if herm:
+                # bra == ket and the group is Hermitian (every row of a
+                # compiled REAL Hamiltonian is: Y-phase folding makes
+                # (cre + i cim) X^x Z^z self-adjoint), so the mirror
+                # chunk's contribution equals this one exactly
+                # (M(i^x, i) = conj M(i, i^x)): one contrib doubled —
+                # halves the perm/field compute where this kernel is
+                # compute-bound (attribution probe, 24q)
+                eacc[0, 0] += 2.0 * contrib(bufA.at[slot], bufB.at[slot], h)
+            else:
+                eacc[0, 0] += (contrib(bufA.at[slot], bufB.at[slot], h)
+                               + contrib(bufB.at[slot], bufA.at[slot],
+                                         h ^ xh))
 
         @pl.when(xh == 0)
         def _():
@@ -638,21 +649,24 @@ def _expect_stream_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 
 def expectation_stream(psi, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
                        z_r, z_c, cre, cim, interpret: Optional[bool] = None,
-                       chunk_bits: int = CHUNK_BITS):
+                       chunk_bits: int = CHUNK_BITS, herm: bool = False):
     """Off-diagonal grouped <psi|H|psi> contribution, state streamed from
-    HBM (diagonal + constant are cheap single XLA passes)."""
+    HBM (diagonal + constant are cheap single XLA passes).  herm=True
+    certifies every group Hermitian (true for any compiled REAL-coefficient
+    Hamiltonian) and halves the cross-chunk compute."""
     N = psi.shape[-1]
     T = N >> TILE_BITS
     psi4 = jnp.asarray(psi, jnp.float32).reshape(2, T, SUB, LANE)
     return expectation_stream4(psi4, x_huge, mb, n_outer, x_chunk, x_mid,
                                x_lane, z_r, z_c, cre, cim,
-                               interpret=interpret, chunk_bits=chunk_bits)
+                               interpret=interpret, chunk_bits=chunk_bits,
+                               herm=herm)
 
 
 def expectation_stream4(psi4, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
                         z_r, z_c, cre, cim,
                         interpret: Optional[bool] = None,
-                        chunk_bits: int = CHUNK_BITS):
+                        chunk_bits: int = CHUNK_BITS, herm: bool = False):
     """As expectation_stream on the TILED (2, T, 128, 128) state view —
     no boundary reshape (a layout-changing 8 GB copy at 30 qubits)."""
     interpret = _resolve_interpret(interpret)
@@ -682,8 +696,9 @@ def expectation_stream4(psi4, x_huge, mb, n_outer, x_chunk, x_mid, x_lane,
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
+    from functools import partial as _partial
     out = pl.pallas_call(
-        _expect_stream_kernel,
+        _partial(_expect_stream_kernel, bool(herm)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -2562,8 +2577,9 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
 
     @jax.jit
     def _exp_seg(psi, xh, mb_, nout, xc, xm, xl, zr, zc, cre, cim):
+        # herm: compiled REAL-coefficient Hamiltonian groups are Hermitian
         return expectation_stream(psi, xh, mb_, nout, xc, xm, xl,
-                                  zr, zc, cre, cim)
+                                  zr, zc, cre, cim, herm=True)
 
     @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(13,))
     def _adj_seg(p, l, theta, xh, mb_, nout, xc, xm, xl, op, zr, zc, cre,

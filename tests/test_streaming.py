@@ -80,6 +80,28 @@ def test_expectation_parity(data):
     np.testing.assert_allclose(float(out), float(ref), rtol=0, atol=1e-5)
 
 
+def test_expectation_herm_parity(data):
+    """herm=True (one contrib doubled per chunk pair) must match the
+    general path on HERMITIAN groups: row (cre + i cim) X^x Z^z is
+    self-adjoint iff the imaginary part sits exactly on the rows with
+    odd parity(x & z) — the structure every compiled real-coefficient
+    Hamiltonian has."""
+    x, z, coef, op, theta, psi = data
+    parity = np.zeros_like(z)
+    for g in range(z.shape[0]):
+        parity[g] = [bin(int(x[g]) & int(zk)).count("1") & 1 for zk in z[g]]
+    cre = np.where(parity == 0, coef, 0.0).astype(np.float32)
+    cim = np.where(parity == 1, coef, 0.0).astype(np.float32)
+
+    sd = st.build_stream_data(N, x, z, cre, coef_im=cim)
+    ref = st.expectation_stream(psi, *st.ham_stream_args(sd),
+                                interpret=True, herm=False)
+    out = st.expectation_stream(psi, *st.ham_stream_args(sd),
+                                interpret=True, herm=True)
+    np.testing.assert_allclose(float(out), float(ref), rtol=0, atol=1e-5)
+    assert abs(float(ref)) > 1e-6          # non-trivial value
+
+
 def test_ham_apply_parity(data):
     x, z, coef, op, theta, psi = data
     rng = np.random.default_rng(9)
