@@ -99,19 +99,11 @@ def main():
                                             fmode=fmode)
 
     @jax.jit
-    def exp_seg(psi4, xh, mb_, nout, xc, xm, xl, zr, zc, cre, cim):
-        return st.expectation_stream4(psi4, xh, mb_, nout,
-                                      xc, xm, xl, zr, zc, cre, cim,
-                                      herm=True)
-
-    # constant + z-diagonal terms ALL run through the streaming
-    # expectation kernel as x=0 groups (a z=0 row has field == 1, i.e.
-    # contributes c_re <psi|psi> exactly): at 30q the XLA alternatives
-    # materialize full-state temps (psi*psi before the reduce; an (R, Kd)
-    # sign matrix for the bilinear)
-    zd = np.concatenate([[0], gham.z_diag]).astype(np.int64)
-    adr = np.concatenate([[gham.c_re], gham.a_diag_re]).astype(np.float32)
-    adi = np.concatenate([[0.0], gham.a_diag_im]).astype(np.float32)
+    def expb_seg(psi4, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr, bzc,
+                 bcre, bcim):
+        return st.expectation_bucketed4(psi4, bxh, bmb, bnout, bxc, bxm,
+                                        bxl, bact, bzr, bzc, bcre, bcim,
+                                        herm=True)
 
     # build the HF one-hot DIRECTLY in the tiled shape: a flat zeros +
     # reshape materializes a second 8 GB copy on this backend (OOM)
@@ -127,27 +119,15 @@ def main():
                     for s in st._segments(
                         st.seq_stream_args(st.stream_seq_data(gseq)), seg)]
     seg2 = max(8, seg // 2)
+    # <psi|H|psi> through the BUCKETED expectation kernel: one 8.6 GB
+    # state READ per x_huge bucket (vs one per group — ~16x less DMA),
+    # K-class split so 4-row groups don't pay K=64 field builds, and the
+    # constant + z-diagonal terms folded in as x=0 groups (a z=0 row has
+    # field == 1, i.e. contributes c_re <psi|psi> exactly): the XLA
+    # alternatives materialize full-state temps (OOM at 30q)
     h_segments = [tuple(jnp.asarray(a) for a in s)
-                  for s in st._segments(
-                      st.ham_stream_args(st.stream_ham_data(gham)), seg2)]
-    if len(zd):
-        # constant + z-diagonal terms as x=0 streaming groups
-        Kd = 64
-        Gd = -(-len(zd) // Kd)
-        zrows = np.zeros((Gd, Kd), np.int64)
-        crows = np.zeros((Gd, Kd), np.float32)
-        cirows = np.zeros((Gd, Kd), np.float32)
-        for g in range(Gd):
-            sl = slice(g * Kd, min((g + 1) * Kd, len(zd)))
-            m = sl.stop - sl.start
-            zrows[g, :m] = zd[sl]
-            crows[g, :m] = adr[sl]
-            cirows[g, :m] = adi[sl]
-        sd_diag = st.build_stream_data(n, np.zeros(Gd, np.int64), zrows,
-                                       crows, coef_im=cirows)
-        h_segments += [tuple(jnp.asarray(a) for a in s)
-                       for s in st._segments(st.ham_stream_args(sd_diag),
-                                             seg2)]
+                  for b in st.build_ham_buckets_split(gham, with_diag=True)
+                  for s in st._bucket_segments(b, seg2)]
 
     def energy(theta):
         psi = make_hf()
@@ -156,7 +136,7 @@ def main():
             psi = rot_seg(psi, theta, *s, fm)
         acc = jnp.float32(0.0)
         for s in h_segments:
-            acc = acc + exp_seg(psi, *s)
+            acc = acc + expb_seg(psi, *s)
         return float(acc)
 
     # ---- theta = 0: must reproduce the HF energy -------------------------

@@ -1732,6 +1732,295 @@ def ham_apply_bucketed(psi, acc, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
     return out.reshape(2, N)
 
 
+# --------------------------------------------------- bucketed expectation
+#
+# <psi|H_offdiag|psi> with the state streamed ONCE per x_huge bucket: the
+# per-group expectation kernel sits exactly at its DMA copy floor (24q
+# attribution probe), so G passes cost G full-state reads — bucketing
+# amortizes one read over up to gcap groups.  Unlike the H-apply route to
+# the energy (acc = H|psi>, e = Re<psi|acc>) this needs NO second state:
+# at 30 qubits the 8.6 GB accumulator does not fit next to psi on one
+# chip, and even where it fits the expectation reads 1 state per bucket
+# vs 3 transfers (psi read + acc read/write) for H-apply.
+
+class _HamGroupsView:
+    """Duck-typed stand-in for GroupedPauliSum exposing only the fields
+    stream_ham_data reads — lets build_ham_buckets run on a row-class
+    subset with its own K padding."""
+
+    def __init__(self, n, x, z, a_re, a_im):
+        self.n = n
+        self.x = x
+        self.z = z
+        self.a_re = a_re
+        self.a_im = a_im
+
+
+def diag_stream_rows(gham, kd: int = 64, include_const: bool = True):
+    """Constant + z-diagonal terms lowered to x=0 grouped rows
+    (x, z, a_re, a_im) of kd terms per group.  A z=0 row has field == 1
+    everywhere, so the identity constant contributes c_re <psi|psi>
+    exactly; at very large n this routes the diagonal through the
+    streaming kernels instead of an XLA pass that materializes full-state
+    temporaries (8+ GB at 30 qubits)."""
+    zd = np.asarray(gham.z_diag, np.int64)
+    adr = np.asarray(gham.a_diag_re, np.float64)
+    adi = np.asarray(gham.a_diag_im, np.float64)
+    if include_const:
+        zd = np.concatenate([[0], zd])
+        adr = np.concatenate([[gham.c_re], adr])
+        adi = np.concatenate([[gham.c_im], adi])
+    if not len(zd):
+        return None
+    gd = -(-len(zd) // kd)
+    z = np.zeros((gd, kd), np.int64)
+    are = np.zeros((gd, kd), np.float32)
+    aim = np.zeros((gd, kd), np.float32)
+    for g in range(gd):
+        sl = slice(g * kd, min((g + 1) * kd, len(zd)))
+        m = sl.stop - sl.start
+        z[g, :m] = zd[sl]
+        are[g, :m] = adr[sl]
+        aim[g, :m] = adi[sl]
+    return np.zeros(gd, np.int64), z, are, aim
+
+
+def build_ham_buckets_split(gham, gcap: int = HAM_BUCKET_CAP,
+                            small: int = 8, with_diag: bool = False):
+    """x_huge-bucketed Hamiltonian operands split into K ROW CLASSES: the
+    off-diagonal groups of a molecular Hamiltonian are wildly skewed (at
+    30q/H15+: 79% of groups carry 4 live rows, 1.4% carry 58 — all padded
+    to K=64 by group_pauli_sum).  The bucket kernels are compute-bound
+    with per-group field work linear in K, so padding every group to the
+    global max wastes ~11x field compute.  Splits groups into a
+    K=``small`` class and a K=global class (each padded to its own K) and
+    returns a LIST of bucket-arg tuples — one executable per class.
+
+    ``with_diag`` appends the constant + z-diagonal terms as x=0 groups
+    (expectation path only: H-apply handles the diagonal separately)."""
+    x = np.asarray(gham.x, np.int64)
+    z = np.asarray(gham.z)
+    are = np.asarray(gham.a_re)
+    aim = np.asarray(gham.a_im)
+    if with_diag:
+        d = diag_stream_rows(gham, kd=max(small, z.shape[1] or small))
+        if d is not None:
+            kd = d[1].shape[1]
+            kk = max(kd, z.shape[1])
+
+            def padk(a, fill):
+                out = np.zeros((a.shape[0], kk), a.dtype)
+                out[:, : a.shape[1]] = a
+                return out
+
+            x = np.concatenate([x, d[0]]) if len(x) else d[0]
+            z = np.concatenate([padk(z, 0), padk(d[1], 0)]) if z.size \
+                else d[1]
+            are = np.concatenate([padk(are, 0), padk(d[2], 0)]) if \
+                are.size else d[2]
+            aim = np.concatenate([padk(aim, 0), padk(d[3], 0)]) if \
+                aim.size else d[3]
+    if not len(x):
+        return []
+    live = (np.abs(are) > 0) | (np.abs(aim) > 0)
+    rows = live.sum(axis=1)
+    out = []
+    sel_small = rows <= small
+    for sel, kc in ((sel_small, small), (~sel_small, z.shape[1])):
+        if not sel.any():
+            continue
+        assert not live[sel][:, kc:].any()
+        view = _HamGroupsView(gham.n, x[sel], z[sel, :kc],
+                              are[sel, :kc], aim[sel, :kc])
+        b = build_ham_buckets(view, gcap=gcap)
+        if b is not None:
+            out.append(b)
+    return out
+
+
+def _expect_bucket_kernel(herm, unroll, xh_ref, mb_ref, nout_ref, xc_ref,
+                          xm_ref, xl_ref, act_ref, zr_ref, zc_ref, cre_ref,
+                          cim_ref, psi_ref, out_ref, bufA, bufB, pmidS,
+                          ploS, smS, wlS, wlimS, zhiS, eacc, sin):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        out_ref[0, 0] = jnp.float32(0.0)
+
+    xh = xh_ref[b]
+    mb = mb_ref[b]
+    nout = nout_ref[b]
+    C = bufA.shape[2]
+    Gcap = act_ref.shape[1]
+    _hoist_ctx(b, Gcap, xm_ref, xl_ref, zr_ref, zc_ref, cre_ref,
+               pmidS, ploS, smS, wlS, zhiS, cim_ref=cim_ref, wlimS=wlimS)
+    eacc[0, 0] = jnp.float32(0.0)
+
+    def in_dmas(i, side):
+        slot = i & 1
+        h = _pair_index(i, xh, mb)
+        hh = h ^ xh
+        if side == "a":
+            return [pltpu.make_async_copy(psi_ref.at[p, pl.ds(h * C, C)],
+                                          bufA.at[slot, p], sin.at[slot, p])
+                    for p in (0, 1)]
+        return [pltpu.make_async_copy(psi_ref.at[p, pl.ds(hh * C, C)],
+                                      bufB.at[slot, p], sin.at[slot, 2 + p])
+                for p in (0, 1)]
+
+    def contrib(g2, src, px0, px1, h):
+        Wre = _field_from(smS, wlS, zhiS, g2, h, C)
+        Wim = _field_from(smS, wlimS, zhiS, g2, h, C)
+        return jnp.sum(Wre * (src[0] * px0 + src[1] * px1)
+                       - Wim * (src[0] * px1 - src[1] * px0))
+
+    @pl.when(nout > 0)
+    def _():
+        _start(in_dmas(0, "a"))
+
+        @pl.when(xh > 0)
+        def _():
+            _start(in_dmas(0, "b"))
+
+    def outer(i, _):
+        slot = i & 1
+        h = _pair_index(i, xh, mb)
+
+        @pl.when(i + 1 < nout)
+        def _():
+            _start(in_dmas(i + 1, "a"))
+
+            @pl.when(xh > 0)
+            def _():
+                _start(in_dmas(i + 1, "b"))
+
+        _wait(in_dmas(i, "a"))
+
+        @pl.when(xh > 0)
+        def _():
+            _wait(in_dmas(i, "b"))
+
+        def group_body(g2, _):
+            @pl.when(act_ref[b, g2] != 0)
+            def _():
+                xc = xc_ref[b, g2]
+                pmid = pmidS[g2]
+                plo = ploS[g2]
+
+                @pl.when(xh > 0)
+                def _():
+                    if herm:
+                        # bra == ket and every group of a compiled REAL
+                        # Hamiltonian is Hermitian: the mirror chunk's
+                        # contribution equals this one exactly
+                        # (M(i^x, i) = conj M(i, i^x)) — one side doubled
+                        X = jnp.stack([bufB[slot, 0], bufB[slot, 1]])
+                        P = _perm_batched(X, pmid, plo, xc)
+                        eacc[0, 0] += 2.0 * contrib(g2, bufA.at[slot],
+                                                    P[0], P[1], h)
+                    else:
+                        X = jnp.stack([bufB[slot, 0], bufB[slot, 1],
+                                       bufA[slot, 0], bufA[slot, 1]])
+                        P = _perm_batched(X, pmid, plo, xc)
+                        eacc[0, 0] += (
+                            contrib(g2, bufA.at[slot], P[0], P[1], h)
+                            + contrib(g2, bufB.at[slot], P[2], P[3],
+                                      h ^ xh))
+
+                @pl.when(xh == 0)
+                def _():
+                    X = jnp.stack([bufA[slot, 0], bufA[slot, 1]])
+                    P = _perm_batched(X, pmid, plo, xc)
+                    eacc[0, 0] += contrib(g2, bufA.at[slot], P[0], P[1], h)
+
+            return 0
+
+        if unroll:
+            # independent reads of the same resident chunks: straight-line
+            # code lets Mosaic overlap the per-group matmul chains
+            for g2s in range(Gcap):
+                group_body(g2s, 0)
+        else:
+            jax.lax.fori_loop(0, Gcap, group_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, nout, outer, 0)
+    out_ref[0, 0] += eacc[0, 0]
+
+
+def expectation_bucketed4(psi4, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
+                          bzc, bcre, bcim, interpret: Optional[bool] = None,
+                          chunk_bits: int = CHUNK_BITS, herm: bool = False,
+                          unroll: Optional[bool] = None):
+    """Off-diagonal grouped <psi|H|psi> on the TILED (2, T, 128, 128)
+    state view, one state read per x_huge bucket.  herm=True certifies
+    every group Hermitian and halves the cross-chunk compute."""
+    interpret = _resolve_interpret(interpret)
+    if unroll is None:
+        unroll = _os.environ.get("OVQE_HAM_UNROLL", "0") == "1"
+    B, Gcap, K = bzc.shape[0], bzc.shape[1], bzc.shape[-1]
+    C = 1 << chunk_bits
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Gcap, K, 1), lambda b, *r: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gcap, 1, K), lambda b, *r: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gcap, K, 1), lambda b, *r: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gcap, K, 1), lambda b, *r: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),        # psi
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda b, *r: (0, 0),
+                               memory_space=pltpu.SMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),
+            pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),
+            pltpu.VMEM((Gcap, SUB, SUB), jnp.bfloat16),      # pmidS
+            pltpu.VMEM((Gcap, LANE, LANE), jnp.bfloat16),    # ploS
+            pltpu.VMEM((Gcap, SUB, K), jnp.float32),         # smS
+            pltpu.VMEM((Gcap, K, LANE), jnp.float32),        # wlS
+            pltpu.VMEM((Gcap, K, LANE), jnp.float32),        # wlimS
+            pltpu.VMEM((Gcap, 1, K), jnp.int32),             # zhiS
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+    from functools import partial as _partial
+    out = pl.pallas_call(
+        _partial(_expect_bucket_kernel, bool(herm), bool(unroll)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(jnp.asarray(bxh), jnp.asarray(bmb), jnp.asarray(bnout),
+      jnp.asarray(bxc), jnp.asarray(bxm), jnp.asarray(bxl),
+      jnp.asarray(bact), jnp.asarray(bzr), jnp.asarray(bzc),
+      jnp.asarray(bcre), jnp.asarray(bcim), psi4)
+    return out[0, 0]
+
+
+def expectation_bucketed(psi, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
+                         bzc, bcre, bcim, interpret: Optional[bool] = None,
+                         chunk_bits: int = CHUNK_BITS, herm: bool = False,
+                         unroll: Optional[bool] = None):
+    """As expectation_bucketed4 on the flat (2, N) state view."""
+    N = psi.shape[-1]
+    T = N >> TILE_BITS
+    psi4 = jnp.asarray(psi, jnp.float32).reshape(2, T, SUB, LANE)
+    return expectation_bucketed4(psi4, bxh, bmb, bnout, bxc, bxm, bxl,
+                                 bact, bzr, bzc, bcre, bcim,
+                                 interpret=interpret,
+                                 chunk_bits=chunk_bits, herm=herm,
+                                 unroll=unroll)
+
+
 def _bucket_segments(bargs, seg_groups: int, act_idx: int = 6):
     """Split bucket arrays into segments of ~seg_groups ACTIVE groups per
     device call (fixed shapes per segment for executable reuse)."""
@@ -2510,10 +2799,12 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
     seg2 = max(8, seg // 2)
     hd = stream_ham_data(gham)
     # H|psi> runs BUCKETED by x_huge: one state pass per bucket instead of
-    # per group (order-free sum; ~90% less DMA traffic at 24+ qubits)
-    bargs = build_ham_buckets(gham) if hd.G else None
-    hb_segments = (_bucket_segments(bargs, seg2) if bargs is not None
-                   else [])
+    # per group (order-free sum; ~90% less DMA traffic at 24+ qubits).
+    # Buckets are K-CLASS split: most molecular H groups carry <= 8 live
+    # rows while the global pad K is 64 — per-class padding cuts the
+    # (compute-bound) per-group field work up to 8x.
+    hb_classes = build_ham_buckets_split(gham) if hd.G else []
+    hb_segments = [s for b in hb_classes for s in _bucket_segments(b, seg2)]
     # per-group expectation operands only matter when the bucketed path is
     # unavailable — don't pin unused device arrays otherwise
     h_segments = ([tuple(jnp.asarray(a) for a in s)
@@ -2652,13 +2943,25 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
             acc = _hamb_seg(psi, acc, *s)
         return acc
 
+    @jax.jit
+    def _expb_seg(psi, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr, bzc,
+                  bcre, bcim):
+        return expectation_bucketed(psi, bxh, bmb, bnout, bxc, bxm, bxl,
+                                    bact, bzr, bzc, bcre, bcim,
+                                    herm=hermitian)
+
     def _expectation(psi):
-        # e = Re<psi|lam0> + const <psi|psi> through the BUCKETED H apply —
-        # one state pass per x_huge bucket vs one per group on the
-        # per-group expectation kernel (kept for parity tests / fallback)
+        # energy-only: the bucketed EXPECTATION kernel reads the state
+        # ONCE per x_huge bucket with no accumulator state (the H-apply
+        # route costs psi-read + acc-read/write per bucket and a second
+        # full state — which does not even fit next to psi at 30q), and
+        # the Hermitian certificate halves its cross-chunk compute.
+        # energy_and_grad keeps the H-apply route: it needs lam anyway.
         if hb_segments:
-            lam0 = _lham(psi, include_const=False)
-            return float(_dot_energy(psi, lam0))
+            acc = _diag_expect(psi)
+            for s in hb_segments:
+                acc = acc + _expb_seg(psi, *s)
+            return float(acc)
         acc = _diag_expect(psi)
         for s in h_segments:
             acc = acc + _exp_seg(psi, *s)

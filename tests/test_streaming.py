@@ -423,3 +423,81 @@ def test_pool_bucketed_parity(data):
         np.add.at(vim, ops_of_slot[live], rows[:, :, 1][live])
         np.testing.assert_allclose(vre, vre_ref, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(vim, vim_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_bucketed_expectation_parity():
+    """Bucketed expectation (one state READ per x_huge bucket) == per-group
+    expectation kernel + numpy diagonal, through the K-CLASS split builder
+    (ragged live rows force both the K=8 and the K=global class; gcap=2
+    forces multi-bucket splits) with the constant + z-diagonal folded in
+    as x=0 groups."""
+    rng = np.random.default_rng(14)
+    G, K = 8, 12
+    x, z, coef = _random_groups(rng, G, K, N)
+    cim = rng.normal(size=coef.shape).astype(np.float32) * 0.1
+    live = np.array([2, 3, 12, 5, 1, 9, 4, 12])
+    for g in range(G):
+        coef[g, live[g]:] = 0.0
+        cim[g, live[g]:] = 0.0
+    psi = _random_state(rng, N)
+    zd = rng.integers(0, 1 << N, size=5).astype(np.int32)
+    adr = rng.normal(size=5).astype(np.float32)
+
+    from openvqe_tpu.sim.grouped import GroupedPauliSum
+    gham = GroupedPauliSum(
+        n=N, z_diag=zd, a_diag_re=adr, a_diag_im=np.zeros(5, np.float32),
+        x=x, z=z, a_re=coef, a_im=cim, c_re=0.37, c_im=0.0,
+        n_terms=int(live.sum()) + 6, hermitian=False)
+
+    # off-diagonal reference: the (validated) per-group expectation kernel
+    sd = st.stream_ham_data(gham)
+    ref = float(st.expectation_stream(psi, *st.ham_stream_args(sd),
+                                      interpret=True))
+    # diagonal + constant reference in numpy
+    idx = np.arange(1 << N, dtype=np.int64)
+    p2 = psi[0].astype(np.float64) ** 2 + psi[1].astype(np.float64) ** 2
+    ref += 0.37 * p2.sum()
+    for zk, ak in zip(zd, adr):
+        signs = 1.0 - 2.0 * (np.bitwise_count(idx & int(zk)) & 1)
+        ref += float(ak) * np.sum(signs * p2)
+
+    classes = st.build_ham_buckets_split(gham, gcap=2, small=8,
+                                         with_diag=True)
+    assert len(classes) == 2                     # K=8 and K=12 class
+    ks = sorted(b[7].shape[2] for b in classes)
+    assert ks == [8, 12]
+    # every off-diagonal group lands in exactly one class
+    assert sum(int(b[6].sum()) for b in classes) == G + 1   # + diag group
+    tot = sum(float(st.expectation_bucketed(psi, *b, interpret=True))
+              for b in classes)
+    np.testing.assert_allclose(tot, ref, rtol=0, atol=2e-4)
+
+
+def test_bucketed_expectation_herm_parity():
+    """herm=True (A-side doubled per chunk pair) == the general bucketed
+    path on Hermitian-structured groups."""
+    rng = np.random.default_rng(15)
+    G, K = 6, 8
+    x, z, coef = _random_groups(rng, G, K, N)
+    parity = np.zeros_like(z)
+    for g in range(G):
+        parity[g] = [bin(int(x[g]) & int(zk)).count("1") & 1 for zk in z[g]]
+    cre = np.where(parity == 0, coef, 0.0).astype(np.float32)
+    cim = np.where(parity == 1, coef, 0.0).astype(np.float32)
+    psi = _random_state(rng, N)
+
+    from openvqe_tpu.sim.grouped import GroupedPauliSum
+    gham = GroupedPauliSum(
+        n=N, z_diag=np.zeros(0, np.int32),
+        a_diag_re=np.zeros(0, np.float32),
+        a_diag_im=np.zeros(0, np.float32), x=x, z=z, a_re=cre, a_im=cim,
+        c_re=0.0, c_im=0.0, n_terms=G * K, hermitian=True)
+    classes = st.build_ham_buckets_split(gham, gcap=2, small=8)
+    vals = {}
+    for herm in (False, True):
+        vals[herm] = sum(float(st.expectation_bucketed(psi, *b,
+                                                       interpret=True,
+                                                       herm=herm))
+                         for b in classes)
+    np.testing.assert_allclose(vals[True], vals[False], rtol=0, atol=1e-5)
+    assert abs(vals[False]) > 1e-6
