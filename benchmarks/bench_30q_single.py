@@ -98,12 +98,12 @@ def main():
                                             xm, xl, op, zr, zc, cre,
                                             fmode=fmode)
 
-    @jax.jit
-    def expb_seg(psi4, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr, bzc,
-                 bcre, bcim):
+    @partial(jax.jit, static_argnums=(0,))
+    def expb_seg(stages, psi4, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
+                 bzc, bcre, bcim):
         return st.expectation_bucketed4(psi4, bxh, bmb, bnout, bxc, bxm,
                                         bxl, bact, bzr, bzc, bcre, bcim,
-                                        herm=True)
+                                        herm=True, stages=stages)
 
     # build the HF one-hot DIRECTLY in the tiled shape: a flat zeros +
     # reshape materializes a second 8 GB copy on this backend (OOM)
@@ -125,8 +125,9 @@ def main():
     # constant + z-diagonal terms folded in as x=0 groups (a z=0 row has
     # field == 1, i.e. contributes c_re <psi|psi> exactly): the XLA
     # alternatives materialize full-state temps (OOM at 30q)
-    h_segments = [tuple(jnp.asarray(a) for a in s)
-                  for b in st.build_ham_buckets_split(gham, with_diag=True)
+    h_segments = [(st_, tuple(jnp.asarray(a) for a in s))
+                  for st_, b in st.build_ham_buckets_split(
+                      gham, with_diag=True, stage_split=True)
                   for s in st._bucket_segments(b, seg2)]
 
     def energy(theta):
@@ -135,8 +136,8 @@ def main():
         for s in fwd_segments:
             psi = rot_seg(psi, theta, *s, fm)
         acc = jnp.float32(0.0)
-        for s in h_segments:
-            acc = acc + expb_seg(psi, *s)
+        for st_, s in h_segments:
+            acc = acc + expb_seg(st_, psi, *s)
         return float(acc)
 
     # ---- theta = 0: must reproduce the HF energy -------------------------

@@ -1003,25 +1003,55 @@ def _field_from(smS, wlS, zhiS, g2, h, C):
     return _mm(A2, wlS[g2], ((2,), (0,)))
 
 
-def _perm_batched(X, pmid, plo, xc):
+def _perm_batched(X, pmid, plo, xc, stages: str = "lm"):
     """Batched in-tile permutation: X (S, C, SUB, LANE) with S = planes x
     sides — one MXU stream per limb/stage instead of per-plane calls
     (bf16x3 exact-limb or HIGHEST, as the per-group kernels); the in-chunk
-    tile XOR rolls within each C block."""
+    tile XOR rolls within each C block.
+
+    ``stages`` statically names the matmul stages actually applied ("m" =
+    sublane/pmid, "l" = lane/plo): a group whose x has no sublane (or no
+    lane) bits carries an identity matrix there, and ~60% of molecular-H
+    groups need at most one stage — the order-free builders partition
+    groups by stage class so each class's kernel pays only the matmuls it
+    needs (the bucketed kernels are MXU-bound on exactly this chain)."""
+    do_m = "m" in stages
+    do_l = "l" in stages
+    if not (do_m or do_l):
+        return _xor_roll(X, xc, 1)
+    # each contraction of axis 2 rotates the trailing (SUB, LANE) pair, so
+    # the two-stage chain restores the order by itself; single-stage
+    # variants must contract the RIGHT axis ("l": axis 3 directly) or
+    # restore it ("m": axis 2 then one f32 transpose after limb summation)
     if _STREAM_MM == "highest":
-        U = _mm(X, pmid.astype(jnp.float32), ((2,), (0,)))
-        V = _mm(U, plo.astype(jnp.float32), ((2,), (0,)))
+        if do_m and do_l:
+            U = _mm(X, pmid.astype(jnp.float32), ((2,), (0,)))
+            V = _mm(U, plo.astype(jnp.float32), ((2,), (0,)))
+        elif do_l:
+            V = _mm(X, plo.astype(jnp.float32), ((3,), (0,)))
+        else:
+            V = jnp.swapaxes(_mm(X, pmid.astype(jnp.float32),
+                                 ((2,), (0,))), 2, 3)
         return _xor_roll(V, xc, 1)
     pmid16 = pmid.astype(jnp.bfloat16)
     plo16 = plo.astype(jnp.bfloat16)
     V = None
     for limb in _split_limbs(X):
-        u = jax.lax.dot_general(limb, pmid16, (((2,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        v = jax.lax.dot_general(u.astype(jnp.bfloat16), plo16,
-                                (((2,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        if do_m and do_l:
+            u = jax.lax.dot_general(limb, pmid16, (((2,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            v = jax.lax.dot_general(u.astype(jnp.bfloat16), plo16,
+                                    (((2,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        elif do_l:
+            v = jax.lax.dot_general(limb, plo16, (((3,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        else:
+            v = jax.lax.dot_general(limb, pmid16, (((2,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
         V = v if V is None else V + v
+    if do_m and not do_l:
+        V = jnp.swapaxes(V, 2, 3)
     return _xor_roll(V, xc, 1)
 
 
@@ -1535,9 +1565,10 @@ def build_ham_buckets(gham, gcap: int = HAM_BUCKET_CAP,
     return base if bze is None else base + (bze,)
 
 
-def _ham_bucket_kernel(unroll, xh_ref, mb_ref, nout_ref, xc_ref, xm_ref,
-                       xl_ref, act_ref, zr_ref, zc_ref, cre_ref, cim_ref,
-                       psi_ref, acc_in_ref, acc_ref, bufA, bufB, accA, accB,
+def _ham_bucket_kernel(unroll, stages, xh_ref, mb_ref, nout_ref, xc_ref,
+                       xm_ref, xl_ref, act_ref, zr_ref, zc_ref, cre_ref,
+                       cim_ref, psi_ref, acc_in_ref, acc_ref, bufA, bufB,
+                       accA, accB, pmidS, ploS, smS, wlS, wlimS, zhiS,
                        sin, sout):
     b = pl.program_id(0)
     xh = xh_ref[b]
@@ -1545,6 +1576,10 @@ def _ham_bucket_kernel(unroll, xh_ref, mb_ref, nout_ref, xc_ref, xm_ref,
     nout = nout_ref[b]
     C = bufA.shape[2]
     Gcap = act_ref.shape[1]
+    # per-bucket hoist: the per-(pair, group) _GroupCtx rebuild made this
+    # kernel ~23x compute-bound over its DMA floor at 24q
+    _hoist_ctx(b, Gcap, xm_ref, xl_ref, zr_ref, zc_ref, cre_ref,
+               pmidS, ploS, smS, wlS, zhiS, cim_ref=cim_ref, wlimS=wlimS)
 
     def in_dmas(i, side):
         slot = i & 1
@@ -1580,13 +1615,11 @@ def _ham_bucket_kernel(unroll, xh_ref, mb_ref, nout_ref, xc_ref, xm_ref,
                                       sout.at[slot, 2 + p])
                 for p in (0, 1)]
 
-    def add_group(dst, partner, ctx, h):
-        pb0 = ctx.perm(partner[0])
-        pb1 = ctx.perm(partner[1])
-        Wre = ctx.field("re", h, C)
-        Wim = ctx.field("im", h, C)
-        dst[0] += Wre * pb0 - Wim * pb1
-        dst[1] += Wre * pb1 + Wim * pb0
+    def add_group(dst, g2, P0, P1, h):
+        Wre = _field_from(smS, wlS, zhiS, g2, h, C)
+        Wim = _field_from(smS, wlimS, zhiS, g2, h, C)
+        dst[0] += Wre * P0 - Wim * P1
+        dst[1] += Wre * P1 + Wim * P0
 
     @pl.when(nout > 0)
     def _():
@@ -1625,18 +1658,23 @@ def _ham_bucket_kernel(unroll, xh_ref, mb_ref, nout_ref, xc_ref, xm_ref,
         def group_body(g2, _):
             @pl.when(act_ref[b, g2] != 0)
             def _():
-                ctx = _GroupCtx(xm_ref[b, g2], xl_ref[b, g2], xc_ref[b, g2],
-                                zr_ref[0, g2], zc_ref[0, g2], cre_ref[0, g2],
-                                cim_ref[0, g2])
+                xc = xc_ref[b, g2]
+                pmid = pmidS[g2]
+                plo = ploS[g2]
 
                 @pl.when(xh > 0)
                 def _():
-                    add_group(accA.at[slot], bufB.at[slot], ctx, h)
-                    add_group(accB.at[slot], bufA.at[slot], ctx, h ^ xh)
+                    X = jnp.stack([bufB[slot, 0], bufB[slot, 1],
+                                   bufA[slot, 0], bufA[slot, 1]])
+                    P = _perm_batched(X, pmid, plo, xc, stages)
+                    add_group(accA.at[slot], g2, P[0], P[1], h)
+                    add_group(accB.at[slot], g2, P[2], P[3], h ^ xh)
 
                 @pl.when(xh == 0)
                 def _():
-                    add_group(accA.at[slot], bufA.at[slot], ctx, h)
+                    X = jnp.stack([bufA[slot, 0], bufA[slot, 1]])
+                    P = _perm_batched(X, pmid, plo, xc, stages)
+                    add_group(accA.at[slot], g2, P[0], P[1], h)
 
             return 0
 
@@ -1676,11 +1714,13 @@ def _ham_bucket_kernel(unroll, xh_ref, mb_ref, nout_ref, xc_ref, xm_ref,
 def ham_apply_bucketed(psi, acc, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
                        bzc, bcre, bcim, interpret: Optional[bool] = None,
                        chunk_bits: int = CHUNK_BITS,
-                       unroll: Optional[bool] = None):
+                       unroll: Optional[bool] = None, stages: str = "lm"):
     """acc += (off-diagonal grouped H)|psi> with groups BUCKETED by x_huge:
     one state pass per bucket instead of per group.  ``unroll`` statically
     unrolls the in-bucket group loop (OVQE_HAM_UNROLL=1 enables; default
-    off pending hardware measurement)."""
+    off pending hardware measurement).  ``stages`` statically certifies
+    which in-tile permutation stages the groups need (builder stage
+    classes) — identity stages are skipped."""
     interpret = _resolve_interpret(interpret)
     if unroll is None:
         unroll = _os.environ.get("OVQE_HAM_UNROLL", "0") == "1"
@@ -1712,13 +1752,19 @@ def ham_apply_bucketed(psi, acc, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
             pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),
             pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),
             pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),
+            pltpu.VMEM((Gcap, SUB, SUB), jnp.bfloat16),      # pmidS
+            pltpu.VMEM((Gcap, LANE, LANE), jnp.bfloat16),    # ploS
+            pltpu.VMEM((Gcap, SUB, K), jnp.float32),         # smS
+            pltpu.VMEM((Gcap, K, LANE), jnp.float32),        # wlS
+            pltpu.VMEM((Gcap, K, LANE), jnp.float32),        # wlimS
+            pltpu.VMEM((Gcap, 1, K), jnp.int32),             # zhiS
             pltpu.SemaphoreType.DMA((2, 8)),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
     from functools import partial as _partial
     out = pl.pallas_call(
-        _partial(_ham_bucket_kernel, bool(unroll)),
+        _partial(_ham_bucket_kernel, bool(unroll), stages),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(acc4.shape, jnp.float32),
         input_output_aliases={12: 0},
@@ -1786,7 +1832,8 @@ def diag_stream_rows(gham, kd: int = 64, include_const: bool = True):
 
 
 def build_ham_buckets_split(gham, gcap: int = HAM_BUCKET_CAP,
-                            small: int = 8, with_diag: bool = False):
+                            small: int = 8, with_diag: bool = False,
+                            stage_split: bool = False):
     """x_huge-bucketed Hamiltonian operands split into K ROW CLASSES: the
     off-diagonal groups of a molecular Hamiltonian are wildly skewed (at
     30q/H15+: 79% of groups carry 4 live rows, 1.4% carry 58 — all padded
@@ -1794,7 +1841,15 @@ def build_ham_buckets_split(gham, gcap: int = HAM_BUCKET_CAP,
     with per-group field work linear in K, so padding every group to the
     global max wastes ~11x field compute.  Splits groups into a
     K=``small`` class and a K=global class (each padded to its own K) and
-    returns a LIST of bucket-arg tuples — one executable per class.
+    returns a LIST of (stages, bucket-args) tuples — one executable per
+    class.
+
+    ``stage_split`` further partitions each K class by which in-tile
+    permutation stages its groups actually need ("m" = sublane, "l" =
+    lane; ~60% of molecular-H groups have x with no bits in one of the
+    two in-tile halves, i.e. an identity matrix there): the sum is
+    order-free, so each class runs a kernel that pays only its own
+    matmul stages.  Without it every class is tagged "lm".
 
     ``with_diag`` appends the constant + z-diagonal terms as x=0 groups
     (expectation path only: H-apply handles the diagonal separately)."""
@@ -1808,40 +1863,52 @@ def build_ham_buckets_split(gham, gcap: int = HAM_BUCKET_CAP,
             kd = d[1].shape[1]
             kk = max(kd, z.shape[1])
 
-            def padk(a, fill):
+            def padk(a):
                 out = np.zeros((a.shape[0], kk), a.dtype)
                 out[:, : a.shape[1]] = a
                 return out
 
             x = np.concatenate([x, d[0]]) if len(x) else d[0]
-            z = np.concatenate([padk(z, 0), padk(d[1], 0)]) if z.size \
+            z = np.concatenate([padk(z), padk(d[1])]) if z.size \
                 else d[1]
-            are = np.concatenate([padk(are, 0), padk(d[2], 0)]) if \
+            are = np.concatenate([padk(are), padk(d[2])]) if \
                 are.size else d[2]
-            aim = np.concatenate([padk(aim, 0), padk(d[3], 0)]) if \
+            aim = np.concatenate([padk(aim), padk(d[3])]) if \
                 aim.size else d[3]
     if not len(x):
         return []
     live = (np.abs(are) > 0) | (np.abs(aim) > 0)
     rows = live.sum(axis=1)
-    out = []
     sel_small = rows <= small
-    for sel, kc in ((sel_small, small), (~sel_small, z.shape[1])):
-        if not sel.any():
+    out = []
+    for selk, kc in ((sel_small, small), (~sel_small, z.shape[1])):
+        if not selk.any():
             continue
-        assert not live[sel][:, kc:].any()
-        view = _HamGroupsView(gham.n, x[sel], z[sel, :kc],
-                              are[sel, :kc], aim[sel, :kc])
-        b = build_ham_buckets(view, gcap=gcap)
-        if b is not None:
-            out.append(b)
+        assert not live[selk][:, kc:].any()
+        if stage_split:
+            xm_nz = ((x >> 7) & (SUB - 1)) != 0
+            xl_nz = (x & (LANE - 1)) != 0
+            stage_sels = [("", selk & ~xm_nz & ~xl_nz),
+                          ("l", selk & ~xm_nz & xl_nz),
+                          ("m", selk & xm_nz & ~xl_nz),
+                          ("lm", selk & xm_nz & xl_nz)]
+        else:
+            stage_sels = [("lm", selk)]
+        for stages, sel in stage_sels:
+            if not sel.any():
+                continue
+            view = _HamGroupsView(gham.n, x[sel], z[sel, :kc],
+                                  are[sel, :kc], aim[sel, :kc])
+            b = build_ham_buckets(view, gcap=gcap)
+            if b is not None:
+                out.append((stages, b))
     return out
 
 
-def _expect_bucket_kernel(herm, unroll, xh_ref, mb_ref, nout_ref, xc_ref,
-                          xm_ref, xl_ref, act_ref, zr_ref, zc_ref, cre_ref,
-                          cim_ref, psi_ref, out_ref, bufA, bufB, pmidS,
-                          ploS, smS, wlS, wlimS, zhiS, eacc, sin):
+def _expect_bucket_kernel(herm, unroll, stages, xh_ref, mb_ref, nout_ref,
+                          xc_ref, xm_ref, xl_ref, act_ref, zr_ref, zc_ref,
+                          cre_ref, cim_ref, psi_ref, out_ref, bufA, bufB,
+                          pmidS, ploS, smS, wlS, wlimS, zhiS, eacc, sin):
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -1916,13 +1983,13 @@ def _expect_bucket_kernel(herm, unroll, xh_ref, mb_ref, nout_ref, xc_ref,
                         # contribution equals this one exactly
                         # (M(i^x, i) = conj M(i, i^x)) — one side doubled
                         X = jnp.stack([bufB[slot, 0], bufB[slot, 1]])
-                        P = _perm_batched(X, pmid, plo, xc)
+                        P = _perm_batched(X, pmid, plo, xc, stages)
                         eacc[0, 0] += 2.0 * contrib(g2, bufA.at[slot],
                                                     P[0], P[1], h)
                     else:
                         X = jnp.stack([bufB[slot, 0], bufB[slot, 1],
                                        bufA[slot, 0], bufA[slot, 1]])
-                        P = _perm_batched(X, pmid, plo, xc)
+                        P = _perm_batched(X, pmid, plo, xc, stages)
                         eacc[0, 0] += (
                             contrib(g2, bufA.at[slot], P[0], P[1], h)
                             + contrib(g2, bufB.at[slot], P[2], P[3],
@@ -1931,7 +1998,7 @@ def _expect_bucket_kernel(herm, unroll, xh_ref, mb_ref, nout_ref, xc_ref,
                 @pl.when(xh == 0)
                 def _():
                     X = jnp.stack([bufA[slot, 0], bufA[slot, 1]])
-                    P = _perm_batched(X, pmid, plo, xc)
+                    P = _perm_batched(X, pmid, plo, xc, stages)
                     eacc[0, 0] += contrib(g2, bufA.at[slot], P[0], P[1], h)
 
             return 0
@@ -1952,7 +2019,8 @@ def _expect_bucket_kernel(herm, unroll, xh_ref, mb_ref, nout_ref, xc_ref,
 def expectation_bucketed4(psi4, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
                           bzc, bcre, bcim, interpret: Optional[bool] = None,
                           chunk_bits: int = CHUNK_BITS, herm: bool = False,
-                          unroll: Optional[bool] = None):
+                          unroll: Optional[bool] = None,
+                          stages: str = "lm"):
     """Off-diagonal grouped <psi|H|psi> on the TILED (2, T, 128, 128)
     state view, one state read per x_huge bucket.  herm=True certifies
     every group Hermitian and halves the cross-chunk compute."""
@@ -1993,7 +2061,7 @@ def expectation_bucketed4(psi4, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
     )
     from functools import partial as _partial
     out = pl.pallas_call(
-        _partial(_expect_bucket_kernel, bool(herm), bool(unroll)),
+        _partial(_expect_bucket_kernel, bool(herm), bool(unroll), stages),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -2009,7 +2077,8 @@ def expectation_bucketed4(psi4, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
 def expectation_bucketed(psi, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
                          bzc, bcre, bcim, interpret: Optional[bool] = None,
                          chunk_bits: int = CHUNK_BITS, herm: bool = False,
-                         unroll: Optional[bool] = None):
+                         unroll: Optional[bool] = None,
+                         stages: str = "lm"):
     """As expectation_bucketed4 on the flat (2, N) state view."""
     N = psi.shape[-1]
     T = N >> TILE_BITS
@@ -2018,7 +2087,7 @@ def expectation_bucketed(psi, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
                                  bact, bzr, bzc, bcre, bcim,
                                  interpret=interpret,
                                  chunk_bits=chunk_bits, herm=herm,
-                                 unroll=unroll)
+                                 unroll=unroll, stages=stages)
 
 
 def _bucket_segments(bargs, seg_groups: int, act_idx: int = 6):
@@ -2803,8 +2872,15 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
     # Buckets are K-CLASS split: most molecular H groups carry <= 8 live
     # rows while the global pad K is 64 — per-class padding cuts the
     # (compute-bound) per-group field work up to 8x.
-    hb_classes = build_ham_buckets_split(gham) if hd.G else []
-    hb_segments = [s for b in hb_classes for s in _bucket_segments(b, seg2)]
+    # buckets partition by K row class AND perm-stage class (the sum is
+    # order-free): each class's kernel pays only the field depth and the
+    # in-tile permutation matmul stages its groups actually need.  The
+    # same operand arrays feed the H-apply AND expectation kernels.
+    hb_classes = (build_ham_buckets_split(gham, stage_split=True)
+                  if hd.G else [])
+    hb_segments = [(st_, s) for st_, b in hb_classes
+                   for s in _bucket_segments(b, seg2)]
+    eb_segments = hb_segments
     # per-group expectation operands only matter when the bucketed path is
     # unavailable — don't pin unused device arrays otherwise
     h_segments = ([tuple(jnp.asarray(a) for a in s)
@@ -2931,24 +3007,25 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
             psi = rot(psi, theta, *s, fm)
         return psi
 
-    @partial(jax.jit, donate_argnums=(1,))
-    def _hamb_seg(psi, acc, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
-                  bzc, bcre, bcim):
+    @partial(jax.jit, donate_argnums=(2,), static_argnums=(0,))
+    def _hamb_seg(stages, psi, acc, bxh, bmb, bnout, bxc, bxm, bxl, bact,
+                  bzr, bzc, bcre, bcim):
         return ham_apply_bucketed(psi, acc, bxh, bmb, bnout, bxc, bxm,
-                                  bxl, bact, bzr, bzc, bcre, bcim)
+                                  bxl, bact, bzr, bzc, bcre, bcim,
+                                  stages=stages)
 
     def _lham(psi, include_const: bool = True):
         acc = _diag_ham(psi, include_const=include_const)
-        for s in hb_segments:
-            acc = _hamb_seg(psi, acc, *s)
+        for st_, s in hb_segments:
+            acc = _hamb_seg(st_, psi, acc, *s)
         return acc
 
-    @jax.jit
-    def _expb_seg(psi, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr, bzc,
-                  bcre, bcim):
+    @partial(jax.jit, static_argnums=(0,))
+    def _expb_seg(stages, psi, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
+                  bzc, bcre, bcim):
         return expectation_bucketed(psi, bxh, bmb, bnout, bxc, bxm, bxl,
                                     bact, bzr, bzc, bcre, bcim,
-                                    herm=hermitian)
+                                    herm=hermitian, stages=stages)
 
     def _expectation(psi):
         # energy-only: the bucketed EXPECTATION kernel reads the state
@@ -2957,10 +3034,10 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
         # full state — which does not even fit next to psi at 30q), and
         # the Hermitian certificate halves its cross-chunk compute.
         # energy_and_grad keeps the H-apply route: it needs lam anyway.
-        if hb_segments:
+        if eb_segments:
             acc = _diag_expect(psi)
-            for s in hb_segments:
-                acc = acc + _expb_seg(psi, *s)
+            for st_, s in eb_segments:
+                acc = acc + _expb_seg(st_, psi, *s)
             return float(acc)
         acc = _diag_expect(psi)
         for s in h_segments:
