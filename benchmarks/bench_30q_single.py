@@ -98,12 +98,13 @@ def main():
                                             xm, xl, op, zr, zc, cre,
                                             fmode=fmode)
 
-    @partial(jax.jit, static_argnums=(0,))
-    def expb_seg(stages, psi4, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
-                 bzc, bcre, bcim):
+    @partial(jax.jit, static_argnums=(0, 1))
+    def expb_seg(stages, cb, psi4, bxh, bmb, bnout, bxc, bxm, bxl, bact,
+                 bzr, bzc, bcre, bcim):
         return st.expectation_bucketed4(psi4, bxh, bmb, bnout, bxc, bxm,
                                         bxl, bact, bzr, bzc, bcre, bcim,
-                                        herm=True, stages=stages)
+                                        chunk_bits=cb, herm=True,
+                                        stages=stages)
 
     # build the HF one-hot DIRECTLY in the tiled shape: a flat zeros +
     # reshape materializes a second 8 GB copy on this backend (OOM)
@@ -125,8 +126,8 @@ def main():
     # constant + z-diagonal terms folded in as x=0 groups (a z=0 row has
     # field == 1, i.e. contributes c_re <psi|psi> exactly): the XLA
     # alternatives materialize full-state temps (OOM at 30q)
-    h_segments = [(st_, tuple(jnp.asarray(a) for a in s))
-                  for st_, b in st.build_ham_buckets_split(
+    h_segments = [(st_, cb, tuple(jnp.asarray(a) for a in s))
+                  for st_, cb, b in st.build_ham_buckets_split(
                       gham, with_diag=True, stage_split=True)
                   for s in st._bucket_segments(b, seg2)]
 
@@ -136,8 +137,8 @@ def main():
         for s in fwd_segments:
             psi = rot_seg(psi, theta, *s, fm)
         acc = jnp.float32(0.0)
-        for st_, s in h_segments:
-            acc = acc + expb_seg(st_, psi, *s)
+        for st_, cb, s in h_segments:
+            acc = acc + expb_seg(st_, cb, psi, *s)
         return float(acc)
 
     # ---- theta = 0: must reproduce the HF energy -------------------------

@@ -44,28 +44,29 @@ def main():
                                             xm, xl, op, zr, zc, cre,
                                             fmode=fmode)
 
-    @partial(jax.jit, static_argnums=(0,))
-    def expb_seg(stages, psi4, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
-                 bzc, bcre, bcim):
+    @partial(jax.jit, static_argnums=(0, 1))
+    def expb_seg(stages, cb, psi4, bxh, bmb, bnout, bxc, bxm, bxl, bact,
+                 bzr, bzc, bcre, bcim):
         return st.expectation_bucketed4(psi4, bxh, bmb, bnout, bxc, bxm,
                                         bxl, bact, bzr, bzc, bcre, bcim,
-                                        herm=True, stages=stages)
+                                        chunk_bits=cb, herm=True,
+                                        stages=stages)
 
     fwd_segments = [tuple(jnp.asarray(a) for a in s)
                     for s in st._segments(
                         st.seq_stream_args(st.stream_seq_data(gseq)), seg)]
     classes = st.build_ham_buckets_split(gham, with_diag=True,
                                          stage_split=True)
-    h_segments = [(st_, tuple(jnp.asarray(a) for a in s))
-                  for st_, b in classes
+    h_segments = [(st_, cb, tuple(jnp.asarray(a) for a in s))
+                  for st_, cb, b in classes
                   for s in st._bucket_segments(b, seg2)]
-    n_buckets = sum(int((b[2] > 0).sum()) for _, b in classes)
+    n_buckets = sum(int((b[2] > 0).sum()) for _, _, b in classes)
     print(json.dumps({"rot_groups": int(gseq.n_groups),
                       "h_groups": int(gham.n_groups),
                       "h_buckets": n_buckets,
                       "h_segments": len(h_segments),
                       "k_classes": [(st_, int(b[7].shape[2]))
-                                    for st_, b in classes]}),
+                                    for st_, _, b in classes]}),
           flush=True)
 
     hf_t, hf_r = divmod(int(hf_init), st.SUB * st.LANE)
@@ -92,8 +93,8 @@ def main():
 
         t1 = time.time()
         acc = jnp.float32(0.0)
-        for st_, s in h_segments:
-            acc = acc + expb_seg(st_, psi, *s)
+        for st_, cb, s in h_segments:
+            acc = acc + expb_seg(st_, cb, psi, *s)
         e = float(acc)
         t_exp = time.time() - t1
         print(json.dumps({"trial": trial,

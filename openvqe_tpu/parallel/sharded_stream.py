@@ -266,9 +266,16 @@ def _split_ham_stream(gham: gr.GroupedPauliSum, d: int):
             a_im=np.asarray(gham.a_im[sel], np.float32),
             c_re=0.0, c_im=0.0, n_terms=0, hermitian=gham.hermitian)
         z_dev = (np.asarray(gham.z, np.int64)[sel] >> L).astype(np.int32)
-        bargs = st.build_ham_buckets(sub, z_extra=z_dev)
+        # big-K partitions must shrink their chunks to keep the H-apply
+        # kernel under the scoped-VMEM limit (see st._ham_apply_vmem_est)
+        cb = st.CHUNK_BITS
+        K = sub.z.shape[1] if sub.z.ndim > 1 else 1
+        while cb > 2 and st._ham_apply_vmem_est(
+                1 << cb, st.HAM_BUCKET_CAP, K) > st._HAM_VMEM_BUDGET:
+            cb -= 1
+        bargs = st.build_ham_buckets(sub, z_extra=z_dev, chunk_bits=cb)
         segs = st._bucket_segments(bargs, seg2) if bargs is not None else []
-        parts.append((int(v), segs, sub, z_dev))
+        parts.append((int(v), cb, segs, sub, z_dev))
     return diag, parts
 
 
@@ -338,7 +345,7 @@ class ShardedStreamObjective:
         # one jitted shard_map piece per (x_dev, bucket-segment shape):
         # exchange once, stream every bucket of the partition through the
         # two-array bucketed kernel (acc += W . perm(phi))
-        def l_ham_seg(psi_loc, acc_loc, x_dev, seg_args):
+        def l_ham_seg(psi_loc, acc_loc, x_dev, cb, seg_args):
             phi = (jax.lax.ppermute(psi_loc, AXIS, _perm(x_dev, n_dev))
                    if x_dev else psi_loc)
             (bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr, bzc, bcre, bcim,
@@ -347,7 +354,8 @@ class ShardedStreamObjective:
                 jax.lax.axis_index(AXIS) & bzdev) & 1)).astype(acc_loc.dtype)
             return st.ham_apply_bucketed(
                 phi, acc_loc, bxh, bmb, bnout, bxc, bxm, bxl, bact,
-                bzr, bzc, bcre * sc, bcim * sc, interpret=interpret)
+                bzr, bzc, bcre * sc, bcim * sc, chunk_bits=cb,
+                interpret=interpret)
 
         # XLA impl: same split and exchange, grouped scan on the exchanged
         # copy (one fn per partition — no bucket segmentation needed)
@@ -380,11 +388,12 @@ class ShardedStreamObjective:
             partial(l_diag, include_const=False), (SPEC,), SPEC)
 
         self._part_fns = []
-        for x_dev, segs, sub, z_dev in self._ham_parts:
+        for x_dev, cb, segs, sub, z_dev in self._ham_parts:
             if impl == "stream":
                 for seg_args in segs:
                     self._part_fns.append(self._sm(
-                        partial(l_ham_seg, x_dev=x_dev, seg_args=seg_args),
+                        partial(l_ham_seg, x_dev=x_dev, cb=cb,
+                                seg_args=seg_args),
                         (SPEC, SPEC), SPEC))
             else:
                 self._part_fns.append(self._sm(

@@ -464,24 +464,24 @@ def test_bucketed_expectation_parity():
     classes = st.build_ham_buckets_split(gham, gcap=2, small=8,
                                          with_diag=True)
     assert len(classes) == 2                     # K=8 and K=12 class
-    ks = sorted(b[7].shape[2] for _, b in classes)
+    ks = sorted(b[7].shape[2] for _, _, b in classes)
     assert ks == [8, 12]
     # every off-diagonal group lands in exactly one class
-    assert sum(int(b[6].sum()) for _, b in classes) == G + 1  # + diag group
+    assert sum(int(b[6].sum()) for _, _, b in classes) == G + 1  # + diag
     tot = sum(float(st.expectation_bucketed(psi, *b, interpret=True,
-                                            stages=st_))
-              for st_, b in classes)
+                                            chunk_bits=cb, stages=st_))
+              for st_, cb, b in classes)
     np.testing.assert_allclose(tot, ref, rtol=0, atol=2e-4)
 
     # perm-STAGE classes (identity matmul stages skipped statically) must
     # partition the same groups and give the same value
     sclasses = st.build_ham_buckets_split(gham, gcap=2, small=8,
                                           with_diag=True, stage_split=True)
-    assert sum(int(b[6].sum()) for _, b in sclasses) == G + 1
-    assert len({st_ for st_, _ in sclasses}) >= 2
+    assert sum(int(b[6].sum()) for _, _, b in sclasses) == G + 1
+    assert len({st_ for st_, _, _ in sclasses}) >= 2
     tot2 = sum(float(st.expectation_bucketed(psi, *b, interpret=True,
-                                             stages=st_))
-               for st_, b in sclasses)
+                                             chunk_bits=cb, stages=st_))
+               for st_, cb, b in sclasses)
     np.testing.assert_allclose(tot2, ref, rtol=0, atol=2e-4)
 
 
@@ -510,8 +510,9 @@ def test_bucketed_expectation_herm_parity():
     for herm in (False, True):
         vals[herm] = sum(float(st.expectation_bucketed(psi, *b,
                                                        interpret=True,
+                                                       chunk_bits=cb,
                                                        herm=herm,
                                                        stages=st_))
-                         for st_, b in classes)
+                         for st_, cb, b in classes)
     np.testing.assert_allclose(vals[True], vals[False], rtol=0, atol=1e-5)
     assert abs(vals[False]) > 1e-6
