@@ -2406,7 +2406,8 @@ def build_pool_buckets(sd: StreamGroupData, gcap: int = HAM_BUCKET_CAP):
             slot_group)
 
 
-def _pool_bucket_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
+def _pool_bucket_kernel(stages, limbs, xh_ref, mb_ref, nout_ref, xc_ref,
+                        xm_ref, xl_ref,
                         act_ref, zr_ref, zc_ref, cre_ref, cim_ref, sig_ref,
                         psi_ref, out_ref, sigA, sigB, bufA, bufB, pmidS,
                         ploS, smS, wlS, wlimS, zhiS, sin):
@@ -2487,7 +2488,8 @@ def _pool_bucket_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
                 def _():
                     X = jnp.stack([bufB[slot, 0], bufB[slot, 1],
                                    bufA[slot, 0], bufA[slot, 1]])
-                    P = _perm_batched(X, pmid, plo, xc)
+                    P = _perm_batched(X, pmid, plo, xc, stages,
+                                      limbs=limbs)
                     rA, iA = contrib(g2, sigA.at[slot], P[0], P[1], h)
                     rB, iB = contrib(g2, sigB.at[slot], P[2], P[3], h ^ xh)
                     li = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
@@ -2498,7 +2500,8 @@ def _pool_bucket_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
                 @pl.when(xh == 0)
                 def _():
                     X = jnp.stack([bufA[slot, 0], bufA[slot, 1]])
-                    P = _perm_batched(X, pmid, plo, xc)
+                    P = _perm_batched(X, pmid, plo, xc, stages,
+                                      limbs=limbs)
                     rA, iA = contrib(g2, sigA.at[slot], P[0], P[1], h)
                     li = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
                     row = jnp.where(li == 0, rA,
@@ -2516,10 +2519,17 @@ def _pool_bucket_kernel(xh_ref, mb_ref, nout_ref, xc_ref, xm_ref, xl_ref,
 def pool_overlap_bucketed(sigma, psi, bxh, bmb, bnout, bxc, bxm, bxl, bact,
                           bzr, bzc, bcre, bcim,
                           interpret: Optional[bool] = None,
-                          chunk_bits: int = FUSED_CHUNK_BITS):
+                          chunk_bits: int = FUSED_CHUNK_BITS,
+                          stages: str = "lm", limbs: Optional[int] = None):
     """Per-(bucket, slot) complex overlaps <sigma| group |psi> with both
-    states streamed ONCE per x_huge bucket.  Returns (B, Gcap, 2)."""
+    states streamed ONCE per x_huge bucket.  Returns (B, Gcap, 2).
+    ``stages`` statically certifies which in-tile permutation stages the
+    groups need (caller class-sorts — overlaps are order-free);
+    ``limbs`` as expectation_bucketed4 (screen SCALARS only, never state
+    evolution, so the cheap bf16x2 default is safe)."""
     interpret = _resolve_interpret(interpret)
+    if limbs is None:
+        limbs = 3 if _os.environ.get("OVQE_EXP_MM", "") == "bf16x3" else 2
     B, Gcap, K = bzc.shape[0], bzc.shape[1], bzc.shape[-1]
     N = psi.shape[-1]
     T = N >> TILE_BITS
@@ -2558,8 +2568,9 @@ def pool_overlap_bucketed(sigma, psi, bxh, bmb, bnout, bxc, bxm, bxl, bact,
             pltpu.SemaphoreType.DMA((2, 8)),
         ],
     )
+    from functools import partial as _partial
     rows = pl.pallas_call(
-        _pool_bucket_kernel,
+        _partial(_pool_bucket_kernel, stages, int(limbs)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Gcap, LANE), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -2570,6 +2581,16 @@ def pool_overlap_bucketed(sigma, psi, bxh, bmb, bnout, bxc, bxm, bxl, bact,
       jnp.asarray(bact), jnp.asarray(bzr), jnp.asarray(bzc),
       jnp.asarray(bcre), jnp.asarray(bcim), sig4, psi4)
     return rows[:, :, :2]
+
+
+def _sd_select(sd: StreamGroupData, idx: np.ndarray) -> StreamGroupData:
+    """Group subset of a StreamGroupData (order-free consumers only)."""
+    return StreamGroupData(
+        n=sd.n, T=sd.T, C=sd.C, x_lane=sd.x_lane[idx], x_mid=sd.x_mid[idx],
+        x_chunk=sd.x_chunk[idx], x_huge=sd.x_huge[idx], mb=sd.mb[idx],
+        n_outer=sd.n_outer[idx], z_r=sd.z_r[idx], z_c=sd.z_c[idx],
+        cre=sd.cre[idx], cim=None if sd.cim is None else sd.cim[idx],
+        op=None if sd.op is None else sd.op[idx], fmode=sd.fmode)
 
 
 def build_streaming_pool_gradient_fn(gpool, lham, seg: Optional[int] = None):
@@ -2591,21 +2612,38 @@ def build_streaming_pool_gradient_fn(gpool, lham, seg: Optional[int] = None):
         sd = build_stream_data(n, gpool.x, gpool.z, gpool.a_re, op=gpool.op,
                                coef_im=gpool.a_im,
                                chunk_bits=FUSED_CHUNK_BITS)
-        bargs = build_pool_buckets(sd)
-        slot_group = bargs[-1]
-        op_of_slot = np.where(slot_group >= 0,
-                              np.asarray(sd.op)[np.clip(slot_group, 0,
-                                                        None)], 0)
-        live = (slot_group >= 0).astype(np.float32)
-        segments = _bucket_segments(bargs[:-1] + (op_of_slot, live), seg)
-        dev = [tuple(jnp.asarray(a) for a in s) for s in segments]
+        # STAGE classes (overlaps are order-free, like the H paths): each
+        # class's kernel statically skips the identity in-tile
+        # permutation matmuls its groups don't need
+        xm_nz = sd.x_mid != 0
+        xl_nz = sd.x_lane != 0
+        classes = [("", ~xm_nz & ~xl_nz), ("l", ~xm_nz & xl_nz),
+                   ("m", xm_nz & ~xl_nz), ("lm", xm_nz & xl_nz)]
+        dev = []
+        for stages, selc in classes:
+            idx = np.where(selc)[0]
+            if not len(idx):
+                continue
+            bargs = build_pool_buckets(_sd_select(sd, idx))
+            if bargs is None:
+                continue
+            slot_group = bargs[-1]
+            op_of_slot = np.where(
+                slot_group >= 0,
+                np.asarray(sd.op)[idx][np.clip(slot_group, 0, None)], 0)
+            live = (slot_group >= 0).astype(np.float32)
+            dev += [(stages, tuple(jnp.asarray(a) for a in s))
+                    for s in _bucket_segments(
+                        bargs[:-1] + (op_of_slot, live), seg)]
 
-        @jax.jit
-        def _seg_overlap_b(sig, psi, bxh, bmb, bnout, bxc, bxm, bxl, bact,
-                           bzr, bzc, bcre, bcim, ops, liv):
+        from functools import partial as _partial
+
+        @_partial(jax.jit, static_argnums=(0,))
+        def _seg_overlap_b(stages, sig, psi, bxh, bmb, bnout, bxc, bxm,
+                           bxl, bact, bzr, bzc, bcre, bcim, ops, liv):
             rows = pool_overlap_bucketed(sig, psi, bxh, bmb, bnout, bxc,
                                          bxm, bxl, bact, bzr, bzc, bcre,
-                                         bcim)
+                                         bcim, stages=stages)
             return rows * liv[:, :, None]
 
         @jax.jit
@@ -2619,8 +2657,8 @@ def build_streaming_pool_gradient_fn(gpool, lham, seg: Optional[int] = None):
             sig = lham(psi)
             vre = jnp.zeros(n_ops, jnp.float32)
             vim = jnp.zeros(n_ops, jnp.float32)
-            for s in dev:
-                rows = _seg_overlap_b(sig, psi, *s)
+            for st_, s in dev:
+                rows = _seg_overlap_b(st_, sig, psi, *s)
                 vre, vim = _acc_b(vre, vim, rows, s[-2])
             out = np.asarray(jnp.stack([vre, vim]), dtype=np.float64)
             return out[0] + 1j * out[1]

@@ -275,6 +275,19 @@ def test_pool_overlap_parity(data):
     np.testing.assert_allclose(np.real(v_st), vre, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.imag(v_st), vim, rtol=1e-4, atol=1e-5)
 
+    # FUSED branch (OVQE_STREAM_FUSE=1): stage-class-partitioned bucketed
+    # overlaps must agree with the per-group branch
+    import os as _osm
+    _osm.environ["OVQE_STREAM_FUSE"] = "1"
+    try:
+        grads_f = st.build_streaming_pool_gradient_fn(
+            gpool, lham=lambda p: jnp.asarray(sigma))
+        v_f = grads_f(psi)
+    finally:
+        del _osm.environ["OVQE_STREAM_FUSE"]
+    np.testing.assert_allclose(np.real(v_f), vre, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.imag(v_f), vim, rtol=1e-4, atol=1e-5)
+
 
 def test_bucketed_ham_parity(data):
     """x_huge-bucketed H apply == the per-group scan reference, including
