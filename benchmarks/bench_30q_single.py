@@ -98,6 +98,13 @@ def main():
                                             xm, xl, op, zr, zc, cre,
                                             fmode=fmode)
 
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(13,))
+    def rotb_seg(psi4, theta, bxh, bmb, bnout, bop, bxc, bxm, bxl, bact,
+                 bzr, bzc, bcre, fmode=0):
+        return st.apply_grouped_ops_fused4(psi4, theta, bxh, bmb, bnout,
+                                           bop, bxc, bxm, bxl, bact, bzr,
+                                           bzc, bcre, fmode=fmode)
+
     @partial(jax.jit, static_argnums=(0, 1))
     def expb_seg(stages, cb, psi4, bxh, bmb, bnout, bxc, bxm, bxl, bact,
                  bzr, bzc, bcre, bcim):
@@ -116,9 +123,23 @@ def main():
         psi = jnp.zeros((2, T, st.SUB, st.LANE), jnp.float32)
         return psi.at[0, hf_t, hf_s, hf_l].set(1.0)
 
-    fwd_segments = [tuple(jnp.asarray(a) for a in s)
-                    for s in st._segments(
-                        st.seq_stream_args(st.stream_seq_data(gseq)), seg)]
+    # rotation sweep: residency-FUSED stage-dispatch kernels by default
+    # (consecutive equal-x_huge groups share one chunk-pair residency,
+    # identity permutation stages skipped per group); OVQE_STREAM_FUSE=0
+    # restores the per-group kernels
+    fuse = st._fuse_policy("seq")
+    if fuse:
+        fb = st.build_seq_buckets(
+            st.stream_seq_data(gseq, chunk_bits=st.FUSED_CHUNK_BITS))
+        fwd_segments = [tuple(jnp.asarray(a) for a in s)
+                        for s in st._bucket_segments(fb, seg, act_idx=7)]
+        print(json.dumps({"rot_mode": "fused",
+                          "rot_buckets": int(fb[0].shape[0])}), flush=True)
+    else:
+        fwd_segments = [tuple(jnp.asarray(a) for a in s)
+                        for s in st._segments(
+                            st.seq_stream_args(st.stream_seq_data(gseq)),
+                            seg)]
     seg2 = max(8, seg // 2)
     # <psi|H|psi> through the BUCKETED expectation kernel: one 8.6 GB
     # state READ per x_huge bucket (vs one per group — ~16x less DMA),
@@ -134,8 +155,9 @@ def main():
     def energy(theta):
         psi = make_hf()
         theta = jnp.asarray(np.asarray(theta, np.float32))
+        rot = rotb_seg if fuse else rot_seg
         for s in fwd_segments:
-            psi = rot_seg(psi, theta, *s, fm)
+            psi = rot(psi, theta, *s, fm)
         acc = jnp.float32(0.0)
         for st_, cb, s in h_segments:
             acc = acc + expb_seg(st_, cb, psi, *s)

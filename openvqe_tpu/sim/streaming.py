@@ -1218,13 +1218,30 @@ def apply_grouped_ops_fused(psi, theta, bxh, bmb, bnout, bop, bxc, bxm,
                             chunk_bits: int = FUSED_CHUNK_BITS,
                             fmode: int = 0):
     """Whole-ansatz rotation sweep with consecutive equal-x_huge groups
-    fused into one chunk-pair residency per bucket."""
-    interpret = _resolve_interpret(interpret)
-    B, Gcap, K = bzc.shape[0], bzc.shape[1], bzc.shape[-1]
+    fused into one chunk-pair residency per bucket; psi (2, 2^n)."""
     N = psi.shape[-1]
     T = N >> TILE_BITS
-    C = 1 << chunk_bits
     psi4 = jnp.asarray(psi, jnp.float32).reshape(2, T, SUB, LANE)
+    out = apply_grouped_ops_fused4(psi4, theta, bxh, bmb, bnout, bop, bxc,
+                                   bxm, bxl, bact, bzr, bzc, bcre,
+                                   interpret=interpret,
+                                   chunk_bits=chunk_bits, fmode=fmode)
+    return out.reshape(2, N)
+
+
+def apply_grouped_ops_fused4(psi4, theta, bxh, bmb, bnout, bop, bxc, bxm,
+                             bxl, bact, bzr, bzc, bcre,
+                             interpret: Optional[bool] = None,
+                             chunk_bits: int = FUSED_CHUNK_BITS,
+                             fmode: int = 0):
+    """Fused rotation sweep on the TILED state view (2, T, 128, 128) with
+    no reshape at the jit boundary — same rationale as
+    apply_grouped_ops_stream4: at 30 qubits the reshape-bitcasts around
+    the donated+aliased pallas pair make XLA materialize a defensive
+    full-state (8 GB) temp, which OOMs one chip."""
+    interpret = _resolve_interpret(interpret)
+    B, Gcap, K = bzc.shape[0], bzc.shape[1], bzc.shape[-1]
+    C = 1 << chunk_bits
     ang = -jnp.asarray(theta, jnp.float32)[jnp.asarray(bop)] \
         * jnp.asarray(bact, jnp.float32)
 
@@ -1266,7 +1283,7 @@ def apply_grouped_ops_fused(psi, theta, bxh, bmb, bnout, bop, bxc, bxm,
       jnp.asarray(bxc), jnp.asarray(bxm), jnp.asarray(bxl),
       jnp.asarray(bact), jnp.asarray(bzr), jnp.asarray(bzc),
       jnp.asarray(bcre), psi4)
-    return out.reshape(2, N)
+    return out
 
 
 # ------------------------------------------- fused-residency adjoint sweep
