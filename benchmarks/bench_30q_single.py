@@ -28,8 +28,6 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/ovqe_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from functools import partial
-
 from openvqe_tpu.sim import grouped as gr
 from openvqe_tpu.sim import streaming as st
 
@@ -81,87 +79,12 @@ def main():
                       "hf_energy": e_hf,
                       "setup_s": round(time.time() - t0, 1)}), flush=True)
 
-    # ---- device programs -------------------------------------------------
-    seg = st.stream_segment_groups(n)
-    fm = gseq.fmode
-
-    # psi stays in the TILED pallas-native shape (2, T, 128, 128) across
-    # the whole host loop: reshape-bitcasts at the jit boundary around the
-    # donated+aliased pallas pair made XLA materialize a defensive 8 GB
-    # full-state copy (OOM on one chip at 30q)
-    T = 1 << (n - st.TILE_BITS)
-
-    @partial(jax.jit, donate_argnums=(0,), static_argnums=(12,))
-    def rot_seg(psi4, theta, xh, mb_, nout, xc, xm, xl, op, zr, zc, cre,
-                fmode=0):
-        return st.apply_grouped_ops_stream4(psi4, theta, xh, mb_, nout, xc,
-                                            xm, xl, op, zr, zc, cre,
-                                            fmode=fmode)
-
-    @partial(jax.jit, donate_argnums=(0,), static_argnums=(13,))
-    def rotb_seg(psi4, theta, bxh, bmb, bnout, bop, bxc, bxm, bxl, bact,
-                 bzr, bzc, bcre, fmode=0):
-        return st.apply_grouped_ops_fused4(psi4, theta, bxh, bmb, bnout,
-                                           bop, bxc, bxm, bxl, bact, bzr,
-                                           bzc, bcre, fmode=fmode)
-
-    @partial(jax.jit, static_argnums=(0, 1))
-    def expb_seg(stages, cb, psi4, bxh, bmb, bnout, bxc, bxm, bxl, bact,
-                 bzr, bzc, bcre, bcim):
-        return st.expectation_bucketed4(psi4, bxh, bmb, bnout, bxc, bxm,
-                                        bxl, bact, bzr, bzc, bcre, bcim,
-                                        chunk_bits=cb, herm=True,
-                                        stages=stages)
-
-    # build the HF one-hot DIRECTLY in the tiled shape: a flat zeros +
-    # reshape materializes a second 8 GB copy on this backend (OOM)
-    hf_t, hf_r = divmod(int(hf_init), st.SUB * st.LANE)
-    hf_s, hf_l = divmod(hf_r, st.LANE)
-
-    @jax.jit
-    def make_hf():
-        psi = jnp.zeros((2, T, st.SUB, st.LANE), jnp.float32)
-        return psi.at[0, hf_t, hf_s, hf_l].set(1.0)
-
-    # rotation sweep: residency-FUSED stage-dispatch kernels by default
-    # (consecutive equal-x_huge groups share one chunk-pair residency,
-    # identity permutation stages skipped per group); OVQE_STREAM_FUSE=0
-    # restores the per-group kernels
-    fuse = st._fuse_policy("seq")
-    if fuse:
-        fb = st.build_seq_buckets(
-            st.stream_seq_data(gseq, chunk_bits=st.FUSED_CHUNK_BITS))
-        fwd_segments = [tuple(jnp.asarray(a) for a in s)
-                        for s in st._bucket_segments(fb, seg, act_idx=7)]
-        print(json.dumps({"rot_mode": "fused",
-                          "rot_buckets": int(fb[0].shape[0])}), flush=True)
-    else:
-        fwd_segments = [tuple(jnp.asarray(a) for a in s)
-                        for s in st._segments(
-                            st.seq_stream_args(st.stream_seq_data(gseq)),
-                            seg)]
-    seg2 = max(8, seg // 2)
-    # <psi|H|psi> through the BUCKETED expectation kernel: one 8.6 GB
-    # state READ per x_huge bucket (vs one per group — ~16x less DMA),
-    # K-class split so 4-row groups don't pay K=64 field builds, and the
-    # constant + z-diagonal terms folded in as x=0 groups (a z=0 row has
-    # field == 1, i.e. contributes c_re <psi|psi> exactly): the XLA
-    # alternatives materialize full-state temps (OOM at 30q)
-    h_segments = [(st_, cb, tuple(jnp.asarray(a) for a in s))
-                  for st_, cb, b in st.build_ham_buckets_split(
-                      gham, with_diag=True, stage_split=True)
-                  for s in st._bucket_segments(b, seg2)]
-
-    def energy(theta):
-        psi = make_hf()
-        theta = jnp.asarray(np.asarray(theta, np.float32))
-        rot = rotb_seg if fuse else rot_seg
-        for s in fwd_segments:
-            psi = rot(psi, theta, *s, fm)
-        acc = jnp.float32(0.0)
-        for st_, cb, s in h_segments:
-            acc = acc + expb_seg(st_, cb, psi, *s)
-        return float(acc)
+    # ---- device programs: the library's XL energy-only path --------------
+    # (tiled in-place carry, fused stage-dispatch rotation buckets,
+    # bucketed Hermitian expectation with diag folded in, on-device HF)
+    energy = st.build_streaming_energy_xl_fn(gseq, gham, hf_init)
+    print(json.dumps({"rot_mode": "fused" if st._fuse_policy("seq")
+                      else "per-group"}), flush=True)
 
     # ---- theta = 0: must reproduce the HF energy -------------------------
     t1 = time.time()

@@ -3204,3 +3204,104 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
 
     return (energy, energy_and_grad, forward, _lham, _expectation,
             prepare_seq)
+
+
+def build_streaming_energy_xl_fn(gseq, gham, hf_init: int,
+                                 seg: Optional[int] = None,
+                                 interpret: Optional[bool] = None):
+    """Single-chip LARGE-N ENERGY-ONLY evaluator — the 30-qubit path.
+
+    At 30 qubits the 8.6 GB split-real state is the only full-state buffer
+    one v5e chip can afford, so every stage must avoid flat (2, 2^n)
+    round-trips:
+
+    * the state lives in the TILED pallas-native shape (2, T, 128, 128)
+      across the whole host loop — reshape-bitcasts at the jit boundary
+      around a donated+aliased pallas pair make XLA's buffer assignment
+      materialize a DEFENSIVE full-state copy (OOM on one chip);
+    * the HF one-hot is built ON DEVICE directly in the tiled layout (a
+      flat zeros + reshape materializes the same defensive copy, and a
+      host transfer of 8.6 GB would ride the tunnel for minutes);
+    * the rotation sweep is in-place (input_output_aliases + donated
+      carry) through the residency-FUSED stage-dispatch kernels
+      (OVQE_STREAM_FUSE=0 restores the per-group kernels);
+    * <psi|H|psi> runs through the read-only BUCKETED Hermitian
+      expectation kernel with the constant + z-diagonal terms folded in
+      as x=0 groups (a z=0 row has field == 1, so it contributes exactly
+      c_re <psi|psi>) — the XLA alternatives materialize full-state or
+      (R, K_d) temps.
+
+    Returns ``energy_host(theta) -> float``.  Reference delta: the
+    reference walls at ~14 dense / ~20 sparse qubits on its scipy stack
+    (SURVEY §2.2); full 30q ITERATIONS (energy + adjoint needs 4 streamed
+    states = 34 GB) belong to the multi-chip composition
+    (parallel/sharded_stream.py)."""
+    from functools import partial
+
+    n = gham.n
+    if seg is None:
+        seg = stream_segment_groups(n)
+    T = 1 << (n - TILE_BITS)
+    fm = getattr(gseq, "fmode", 0)
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(12,))
+    def _rot4_seg(psi4, theta, xh, mb_, nout, xc, xm, xl, op, zr, zc, cre,
+                  fmode=0):
+        return apply_grouped_ops_stream4(psi4, theta, xh, mb_, nout, xc,
+                                         xm, xl, op, zr, zc, cre,
+                                         fmode=fmode, interpret=interpret)
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(13,))
+    def _rotb4_seg(psi4, theta, bxh, bmb, bnout, bop, bxc, bxm, bxl, bact,
+                   bzr, bzc, bcre, fmode=0):
+        return apply_grouped_ops_fused4(psi4, theta, bxh, bmb, bnout, bop,
+                                        bxc, bxm, bxl, bact, bzr, bzc,
+                                        bcre, fmode=fmode,
+                                        interpret=interpret)
+
+    @partial(jax.jit, static_argnums=(0, 1))
+    def _expb4_seg(stages, cb, psi4, bxh, bmb, bnout, bxc, bxm, bxl, bact,
+                   bzr, bzc, bcre, bcim):
+        return expectation_bucketed4(psi4, bxh, bmb, bnout, bxc, bxm, bxl,
+                                     bact, bzr, bzc, bcre, bcim,
+                                     chunk_bits=cb, herm=True,
+                                     stages=stages, interpret=interpret)
+
+    hf_t, hf_r = divmod(int(hf_init), SUB * LANE)
+    hf_s, hf_l = divmod(hf_r, LANE)
+
+    @jax.jit
+    def _make_hf():
+        psi = jnp.zeros((2, T, SUB, LANE), jnp.float32)
+        return psi.at[0, hf_t, hf_s, hf_l].set(1.0)
+
+    fuse = _fuse_policy("seq")
+    if fuse and gseq.n_groups:
+        fb = build_seq_buckets(
+            stream_seq_data(gseq, chunk_bits=FUSED_CHUNK_BITS))
+        fwd = [tuple(jnp.asarray(a) for a in s)
+               for s in _bucket_segments(fb, seg, act_idx=7)]
+    elif gseq.n_groups:
+        fwd = [tuple(jnp.asarray(a) for a in s)
+               for s in _segments(seq_stream_args(stream_seq_data(gseq)),
+                                  seg)]
+    else:
+        fwd = []
+    seg2 = max(8, seg // 2)
+    hsegs = [(st_, cb, tuple(jnp.asarray(a) for a in s))
+             for st_, cb, b in build_ham_buckets_split(
+                 gham, with_diag=True, stage_split=True)
+             for s in _bucket_segments(b, seg2)]
+
+    def energy_host(theta) -> float:
+        psi = _make_hf()
+        theta = jnp.asarray(np.asarray(theta, np.float32))
+        rot = _rotb4_seg if (fuse and gseq.n_groups) else _rot4_seg
+        for s in fwd:
+            psi = rot(psi, theta, *s, fm)
+        acc = jnp.float32(0.0)
+        for st_, cb, s in hsegs:
+            acc = acc + _expb4_seg(st_, cb, psi, *s)
+        return float(acc)
+
+    return energy_host

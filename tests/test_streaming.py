@@ -529,3 +529,60 @@ def test_bucketed_expectation_herm_parity():
                          for st_, cb, b in classes)
     np.testing.assert_allclose(vals[True], vals[False], rtol=0, atol=1e-5)
     assert abs(vals[False]) > 1e-6
+
+
+def test_energy_xl_parity(monkeypatch):
+    """build_streaming_energy_xl_fn (the 30-qubit single-chip energy-only
+    path: tiled in-place carry + on-device HF + diag-folded bucketed
+    expectation) == the XLA grouped energy, fused and per-group modes."""
+    from openvqe_tpu.ops.pauli import PauliSum
+    from openvqe_tpu.sim.compile import compile_op_sequence, compile_pauli_sum
+
+    n = N
+    rng = np.random.default_rng(11)
+    ham = PauliSum.identity(n, 0.17)
+    for _ in range(2):      # z-diagonal terms (exercise the diag fold)
+        zs = "".join(rng.choice(list("IZ"), p=[0.5, 0.5]) for _ in range(n))
+        ham = ham + PauliSum.from_term(n, float(rng.normal()), zs)
+    for _ in range(6):      # off-diagonal terms
+        s = "".join(rng.choice(list("IXYZ"), p=[0.55, 0.16, 0.17, 0.12])
+                    for _ in range(n))
+        if s.count("I") < n and (s.count("X") + s.count("Y")) > 0:
+            ham = ham + PauliSum.from_term(n, float(rng.normal() * 0.5), s)
+
+    gens = []
+    for _ in range(3):
+        while True:
+            s = "".join(rng.choice(list("IXYZ"), p=[0.6, 0.15, 0.15, 0.1])
+                        for _ in range(n))
+            if s.count("Y") % 2 == 1:
+                break
+        gens.append(PauliSum.from_term(n, 0.5, s))
+    theta = (rng.normal(size=3) * 0.3).astype(np.float32)
+    hf = 0b110
+
+    gseq = gr.group_op_sequence(compile_op_sequence(gens, n))
+    gham = gr.group_pauli_sum(compile_pauli_sum(ham, n))
+
+    # grouped f32 reference on the HF one-hot
+    psi0 = np.zeros((2, 1 << n), np.float32)
+    psi0[0, hf] = 1.0
+    th = jnp.asarray(theta)
+    psi = gr.apply_grouped_ops(jnp.asarray(psi0), th, jnp.asarray(gseq.x),
+                               jnp.asarray(gseq.z),
+                               jnp.asarray(gseq.s, jnp.float32).astype(
+                                   jnp.float32),
+                               jnp.asarray(gseq.op))
+    hargs = tuple(np.asarray(a, np.float32)
+                  if isinstance(a, (np.ndarray, float))
+                  and np.asarray(a).dtype.kind == "f" else a
+                  for a in gr.ham_as_device(gr.group_pauli_sum(
+                      compile_pauli_sum(ham, n))))
+    e_ref = float(gr.grouped_expectation(psi, *hargs))
+
+    for fuse_env in ("1", "0"):
+        monkeypatch.setenv("OVQE_STREAM_FUSE", fuse_env)
+        energy = st.build_streaming_energy_xl_fn(gseq, gham, hf,
+                                                 interpret=True)
+        e_xl = energy(theta)
+        assert abs(e_xl - e_ref) < 1e-5, (fuse_env, e_xl, e_ref)
