@@ -136,6 +136,11 @@ class TaperingResult:
     pivots: List[int]         # the qubit each generator was rotated onto
     sectors: List[int]        # +-1 eigenvalues fixed by the reference state
     kept_qubits: List[int]
+    eff_sectors: Optional[List[int]] = None   # sign-folded sectors actually
+    #                                           substituted for X_pivot (the
+    #                                           rotation G -> +-X_q can flip
+    #                                           the sign); what
+    #                                           taper_operator must reuse
 
 
 def z2_symmetry_generators(ps: PauliSum) -> Tuple[List[int], List[int]]:
@@ -184,4 +189,85 @@ def taper_hamiltonian(ps: PauliSum, ref_bits: Sequence[int],
     kept = [q for q in range(ps.nbqbits) if q not in pivots]
     return TaperingResult(tapered=tapered, generators=list(generators),
                           pivots=list(pivots), sectors=sectors,
-                          kept_qubits=kept)
+                          kept_qubits=kept, eff_sectors=eff_sectors)
+
+
+# ------------------------------------------------- ansatz (VQE) tapering
+#
+# Tapering a whole VQE problem — Hamiltonian, ansatz generators, and the
+# HF reference — runs the SAME Clifford rotations over every operator and
+# substitutes the SAME sector eigenvalues, which is exact as long as each
+# ansatz generator commutes with every tapered symmetry (then the whole
+# variational manifold stays inside the reference sector).  UCCSD-family
+# excitations conserve the alpha- and beta-parity symmetries of any
+# molecular Hamiltonian but may break its point-group-like Z2 symmetries,
+# so the symmetry set must be FILTERED against the ansatz first.  No
+# reference analog (the reference has no tapering at all; its battery app
+# tapers Hamiltonians only, via the external symmer).
+
+def ansatz_compatible_generators(ps: PauliSum,
+                                 ops: Sequence[PauliSum]
+                                 ) -> List[int]:
+    """Z2 symmetry generators of ``ps`` that also commute with every term
+    of every ansatz operator in ``ops`` (a Z-type (0, g) commutes with a
+    term (x, z) iff parity(x & g) = 0).  Computed as the JOINT GF(2)
+    nullspace of the Hamiltonian and ansatz x-masks — filtering the
+    Hamiltonian's row-reduced basis would miss commuting COMBINATIONS of
+    non-commuting rows (e.g. alpha-parity hiding inside two point-group
+    rows)."""
+    xs = sorted({x for (x, _z), _c in ps}
+                | {x for op in ops for (x, _z), _c in op})
+    gens, _ = gf2_row_reduce(gf2_nullspace(xs, ps.nbqbits))
+    return gens
+
+
+def taper_operator(op: PauliSum, tap: TaperingResult) -> PauliSum:
+    """Apply a TaperingResult's Clifford rotations + qubit drops to another
+    operator (an ansatz generator).  Exact iff ``op`` commutes with every
+    tapered symmetry — enforced by _drop_qubits raising on any Z left on a
+    pivot qubit."""
+    if tap.eff_sectors is None:
+        raise ValueError("TaperingResult lacks eff_sectors "
+                         "(construct it via taper_hamiltonian)")
+    rot = op
+    for g, q in zip(tap.generators, tap.pivots):
+        rot = clifford_conjugate(rot, 1 << q, g)
+    return _drop_qubits(rot, tap.pivots, tap.eff_sectors)
+
+
+def hf_to_ref_bits(hf_init: int, n: int) -> List[int]:
+    """Computational-basis STATE INDEX -> per-qubit occupation bits.  The
+    engine's state-index convention puts qubit q at bit (n-1-q)
+    (sim/statevector.hf_state; reference molecule_factory.py:486-492
+    big-endian ket)."""
+    return [(hf_init >> (n - 1 - q)) & 1 for q in range(n)]
+
+
+def taper_reference(hf_init: int, n: int, tap: TaperingResult) -> int:
+    """Tapered-space state index of a computational reference state.  The
+    Clifford rotation maps |ref> to |ref_kept> (x) (pivot X-eigenstates in
+    the fixed sector), so the tapered reference is the kept-qubit
+    restriction, re-encoded in the same big-endian index convention."""
+    bits = hf_to_ref_bits(hf_init, n)
+    nt = len(tap.kept_qubits)
+    out = 0
+    for i, q in enumerate(tap.kept_qubits):
+        if bits[q]:
+            out |= 1 << (nt - 1 - i)
+    return out
+
+
+def taper_vqe_problem(ps: PauliSum, ops: Sequence[PauliSum], hf_init: int
+                      ) -> Tuple[PauliSum, List[PauliSum], int,
+                                 TaperingResult]:
+    """Taper a full VQE problem: every Z2 symmetry of ``ps`` that the
+    ansatz respects is removed from the Hamiltonian, the generators, and
+    the HF reference.  Returns (H_tapered, ops_tapered, hf_tapered, tap).
+    theta=0 reproduces <HF|H|HF> exactly and the tapered variational
+    minimum equals the untapered one (tests/test_tapering.py)."""
+    gens = ansatz_compatible_generators(ps, ops)
+    tap = taper_hamiltonian(ps, hf_to_ref_bits(hf_init, ps.nbqbits),
+                            generators=gens)
+    ops_t = [taper_operator(op, tap) for op in ops]
+    hf_t = taper_reference(hf_init, ps.nbqbits, tap)
+    return tap.tapered, ops_t, hf_t, tap

@@ -82,3 +82,49 @@ def test_tapering_preserves_hf_energy():
     w_tap = np.linalg.eigvalsh(res.tapered.to_matrix())
     for wt in w_tap[:8]:
         assert np.min(np.abs(w_full - wt)) < 1e-8
+
+
+def test_taper_vqe_problem_exact_parity():
+    """taper_vqe_problem (Hamiltonian + UCCSD generators + HF reference):
+    theta=0 energy, an arbitrary-theta energy, gradients, and the
+    variational minimum all match the untapered problem exactly — the
+    whole UCCSD manifold lives in the tapered sector."""
+    from scipy.optimize import minimize
+
+    from openvqe_tpu.chem.frontend import compute_molecule
+    from openvqe_tpu.ops.hamiltonian import (
+        ElectronicStructureHamiltonian, convert_to_h_integrals)
+    from openvqe_tpu.ops.transforms import transform_operator
+    from openvqe_tpu.ops.uccsd import get_cluster_ops_and_init_guess
+    from openvqe_tpu.sim.objective import VQEObjective
+
+    md = compute_molecule([("H", (0, 0, 0.85 * k)) for k in range(4)],
+                          "sto-3g")
+    hpq, hpqrs = convert_to_h_integrals(md.one_body_integrals,
+                                        md.two_body_integrals)
+    esh = ElectronicStructureHamiltonian(hpq, hpqrs, md.nuclear_repulsion)
+    hsp = esh.to_spin("JW")
+    n = hsp.nbqbits
+    eps = [e for e in md.orbital_energies for _ in range(2)]
+    ops, th0, hf = get_cluster_ops_and_init_guess(md.n_elec, [0] * n, eps,
+                                                  hpqrs)
+    gens = [transform_operator(op, "JW") * 1j for op in ops]
+
+    ht, gens_t, hf_t, tap = tp.taper_vqe_problem(hsp, gens, hf)
+    assert ht.nbqbits == n - 2            # alpha- and beta-parity taper off
+    b_full = VQEObjective(hsp).bind(gens, hf)
+    b_tap = VQEObjective(ht).bind(gens_t, hf_t)
+
+    z = np.zeros(len(gens))
+    assert b_tap.energy(z) == pytest.approx(float(md.info["HF"]), abs=1e-9)
+    th = np.asarray(th0, float)
+    e_f, g_f = b_full.energy_and_grad(th)
+    e_t, g_t = b_tap.energy_and_grad(th)
+    assert e_t == pytest.approx(e_f, abs=1e-9)
+    np.testing.assert_allclose(g_t, g_f, rtol=1e-7, atol=1e-9)
+
+    r_f = minimize(lambda t: b_full.energy_and_grad(t), th, jac=True,
+                   method="L-BFGS-B")
+    r_t = minimize(lambda t: b_tap.energy_and_grad(t), th, jac=True,
+                   method="L-BFGS-B")
+    assert r_t.fun == pytest.approx(r_f.fun, abs=1e-8)
