@@ -21,9 +21,13 @@ import time
 
 
 def bench_chain(n_atoms: int, spacing: float = 1.0, repeats: int = 3,
-                charge: int = 0):
+                charge: int = 0, taper: bool = False):
     """Hydrogen chain H_{n_atoms} (charge +1 for odd chains keeps the RHF
-    reference closed-shell — e.g. H13+ is the 26-qubit row)."""
+    reference closed-shell — e.g. H13+ is the 26-qubit row).  ``taper``
+    removes the ansatz-compatible Z2 symmetries (alpha/beta parity: 2
+    qubits) from the WHOLE problem first (ops/tapering.taper_vqe_problem
+    — exact: same variational manifold, same minimum), so e.g. the
+    30-qubit H15+ runs FULL iterations on one chip at 28-qubit cost."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -50,6 +54,12 @@ def bench_chain(n_atoms: int, spacing: float = 1.0, repeats: int = 3,
         md.n_elec, [0] * n, eps_full, hpqrs)
     gens = [transform_operator(op, "JW") * 1j for op in cluster_ops]
 
+    n_orig = n
+    if taper:
+        from openvqe_tpu.ops.tapering import taper_vqe_problem
+        hsp, gens, hf_init, _tap = taper_vqe_problem(hsp, gens, hf_init)
+        n = hsp.nbqbits
+
     obj = VQEObjective(hsp)
     bound = obj.bind(gens, hf_init)
     theta = np.asarray(theta0, dtype=float)
@@ -66,7 +76,8 @@ def bench_chain(n_atoms: int, spacing: float = 1.0, repeats: int = 3,
         times.append(time.time() - t0)
 
     return {
-        "system": f"H{n_atoms}" + ("+" if charge == 1 else ""),
+        "system": f"H{n_atoms}" + ("+" if charge == 1 else "")
+                  + (f" tapered {n_orig}->{n}q" if taper else ""),
         "qubits": n,
         "h_terms": obj.ham.n_terms,
         "h_groups": obj.gham.n_groups,
@@ -87,12 +98,14 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/ovqe_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    sizes = [int(a) for a in sys.argv[1:]] or [8, 10]
+    taper = "--taper" in sys.argv
+    sizes = [int(a) for a in sys.argv[1:] if not a.startswith("--")] or [8, 10]
     for n_atoms in sizes:
         charge = n_atoms % 2          # odd chains run as closed-shell cations
         repeats = 3 if n_atoms <= 12 else 1
         print(json.dumps(bench_chain(n_atoms, charge=charge,
-                                     repeats=repeats)), flush=True)
+                                     repeats=repeats, taper=taper)),
+              flush=True)
 
 
 if __name__ == "__main__":

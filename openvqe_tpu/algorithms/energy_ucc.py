@@ -68,7 +68,14 @@ class EnergyUCC:
 
     def _minimize(self, hamiltonian_sp, generators, hf_init_sp, theta0,
                   method: str, tolerance: float, energies: List[float],
-                  mesh=None):
+                  mesh=None, taper: bool = False):
+        if taper:
+            # exact: remove the ansatz-compatible Z2 symmetries (alpha/beta
+            # parity -> 2 qubits for UCC families) from the whole problem —
+            # same variational manifold, same minimum (ops/tapering)
+            from ..ops.tapering import taper_vqe_problem
+            hamiltonian_sp, generators, hf_init_sp, _ = taper_vqe_problem(
+                hamiltonian_sp, list(generators), hf_init_sp)
         bound = _objective(hamiltonian_sp, mesh).bind(generators, hf_init_sp)
         if method in ("COBYLA", "Nelder-Mead", "Powell"):
             jac = None
@@ -85,10 +92,12 @@ class EnergyUCC:
 
     def get_energies(self, hamiltonian_sp, cluster_ops_sp, pool_generator,
                      hf_init_sp, theta_current1, theta_current2, fci,
-                     mesh=None) -> Tuple[Dict, Dict]:
+                     mesh=None, taper: bool = False) -> Tuple[Dict, Dict]:
         """Two optimizations — fermionic-evolution ansatz vs qubit-pool
         ansatz — with the reference's result schema
-        (get_energy_ucc.py:92-206; tol 1e-4, BFGS)."""
+        (get_energy_ucc.py:92-206; tol 1e-4, BFGS).  ``taper=True`` runs
+        each optimization with the ansatz-compatible Z2 symmetries tapered
+        off (exact; typically 2 qubits smaller)."""
         iterations = {
             "minimum_energy_result1_guess": [],
             "minimum_energy_result2_guess": [],
@@ -105,10 +114,10 @@ class EnergyUCC:
         energies_2: List[float] = []
         opt1 = self._minimize(hamiltonian_sp, cluster_ops_sp, hf_init_sp,
                               theta_current1, method, tolerance, energies_1,
-                              mesh=mesh)
+                              mesh=mesh, taper=taper)
         opt2 = self._minimize(hamiltonian_sp, pool_generator, hf_init_sp,
                               theta_current2, method, tolerance, energies_2,
-                              mesh=mesh)
+                              mesh=mesh, taper=taper)
 
         theta1 = list(map(float, opt1.x))
         theta2 = list(map(float, opt2.x))

@@ -49,7 +49,8 @@ class UCC(Algorithm):
         self.info = info
         iterations, result = energy_ucc.get_energies(
             hamiltonian_sp, ansatz_ops, ansatz_q_ops, hf_init_sp,
-            theta_current, theta_current, info["FCI"], mesh=self.build_mesh())
+            theta_current, theta_current, info["FCI"], mesh=self.build_mesh(),
+            taper=bool(self.opts.get("taper", False)))
         print("iterations are:", iterations)
         print("results are:", result)
         self.iterations = iterations

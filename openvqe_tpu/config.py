@@ -35,6 +35,7 @@ class VQEConfig:
     threshold_needed: Optional[float] = None
 
     # runtime
+    taper: bool = False                  # exact ansatz-compatible Z2 taper
     mesh_devices: Optional[int] = None   # shard the state over a device mesh
     checkpoint_path: Optional[str] = None
     log_path: Optional[str] = None
@@ -52,6 +53,8 @@ class VQEConfig:
         opts["n_max_grads"] = self.n_max_grads
         if self.pool_seed is not None:
             opts["pool_seed"] = self.pool_seed
+        if self.taper:
+            opts["taper"] = True
         if self.mesh_devices:
             opts["mesh_devices"] = self.mesh_devices
         if self.checkpoint_path:

@@ -128,3 +128,12 @@ def test_taper_vqe_problem_exact_parity():
     r_t = minimize(lambda t: b_tap.energy_and_grad(t), th, jac=True,
                    method="L-BFGS-B")
     assert r_t.fun == pytest.approx(r_f.fun, abs=1e-8)
+
+
+def test_taper_opt_plumbing():
+    """VQEConfig(taper=True) reaches the UCC driver opts."""
+    from openvqe_tpu.config import VQEConfig
+
+    cfg = VQEConfig(molecule="H2", taper=True)
+    assert cfg.to_opts().get("taper") is True
+    assert "taper" not in VQEConfig(molecule="H2").to_opts()
