@@ -49,10 +49,17 @@ def main():
     _, _, pool, theta0, hf_init = uccsd_gen(
         esh, md.n_elec, [0] * n,
         [e for e in md.orbital_energies for _ in range(2)], "JW")
+    if "--taper" in sys.argv:
+        # exact ansatz-compatible Z2 taper: the whole ADAPT loop (screens +
+        # optimizations) runs 2 qubits smaller (ops/tapering)
+        from openvqe_tpu.ops.tapering import taper_vqe_problem
+        hsp, pool, hf_init, _tap = taper_vqe_problem(hsp, list(pool), hf_init)
+        n = hsp.nbqbits
     setup_s = time.time() - t0
     print(json.dumps({"system": f"H{n_atoms}{'+' if charge else ''}",
                       "qubits": n, "pool_ops": len(pool),
-                      "h_terms": len(hsp), "setup_s": round(setup_s, 1)}),
+                      "h_terms": len(hsp), "setup_s": round(setup_s, 1),
+                      "tapered": "--taper" in sys.argv}),
           flush=True)
 
     t1 = time.time()
