@@ -151,3 +151,37 @@ def test_fermionic_adapt_taper_parity():
             {"max_external_iterations": 2, "taper": taper}).execute()
         outs[taper] = it["energies"]
     np.testing.assert_allclose(outs[True], outs[False], rtol=0, atol=5e-6)
+
+
+def test_taper_composes_with_mesh():
+    """taper=True + mesh compose: EnergyUCC._minimize tapers first, then
+    binds the sharded objective; the optimum matches the single-device
+    untapered run."""
+    from openvqe_tpu.algorithms.energy_ucc import EnergyUCC
+    from openvqe_tpu.chem.frontend import compute_molecule
+    from openvqe_tpu.ops.hamiltonian import (
+        ElectronicStructureHamiltonian, convert_to_h_integrals)
+    from openvqe_tpu.ops.transforms import transform_operator
+    from openvqe_tpu.ops.uccsd import get_cluster_ops_and_init_guess
+    from openvqe_tpu.parallel.sharded import make_mesh
+
+    md = compute_molecule([("H", (0, 0, 0.85 * k)) for k in range(4)],
+                          "sto-3g")
+    hpq, hpqrs = convert_to_h_integrals(md.one_body_integrals,
+                                        md.two_body_integrals)
+    esh = ElectronicStructureHamiltonian(hpq, hpqrs, md.nuclear_repulsion)
+    hsp = esh.to_spin("JW")
+    n = hsp.nbqbits
+    eps = [e for e in md.orbital_energies for _ in range(2)]
+    ops, th0, hf = get_cluster_ops_and_init_guess(md.n_elec, [0] * n, eps,
+                                                  hpqrs)
+    gens = [transform_operator(op, "JW") * 1j for op in ops]
+
+    eng = EnergyUCC()
+    outs = {}
+    for mesh in (None, make_mesh(4)):
+        res = eng._minimize(hsp, gens, hf, np.asarray(th0, float),
+                            "BFGS", 1e-6, [], mesh=mesh, taper=True)
+        outs[mesh is None] = float(res.fun)
+    assert outs[True] == pytest.approx(outs[False], abs=1e-6)
+    assert outs[True] == pytest.approx(float(md.info["FCI"]), abs=5e-4)
