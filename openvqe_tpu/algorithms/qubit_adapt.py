@@ -51,6 +51,18 @@ class QubitAdapt(Algorithm):
         print("length of the pool", len(returned_pool))
         self.info = info
 
+        if self.opts.get("taper"):
+            # exact: taper the Z2 symmetries the WHOLE qubit pool respects.
+            # Structured pools (from-cluster families) keep the fermionic
+            # parities; a fully random pool may leave the joint nullspace
+            # empty, in which case nothing is removed (harmless no-op).
+            from ..ops.tapering import taper_vqe_problem
+            hamiltonian_sp, returned_pool, hf_init_sp, _tap = \
+                taper_vqe_problem(hamiltonian_sp, list(returned_pool),
+                                  hf_init_sp)
+            print("tapered to", hamiltonian_sp.nbqbits, "qubits",
+                  f"({len(_tap.pivots)} Z2 symmetries removed)")
+
         iterations_sim, iterations_ana, result_sim, result_ana = qubit_adapt_vqe(
             hamiltonian_sp,
             returned_pool,

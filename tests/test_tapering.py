@@ -185,3 +185,18 @@ def test_taper_composes_with_mesh():
         outs[mesh is None] = float(res.fun)
     assert outs[True] == pytest.approx(outs[False], abs=1e-6)
     assert outs[True] == pytest.approx(float(md.info["FCI"]), abs=5e-4)
+
+
+def test_qubit_adapt_taper_parity():
+    """qubit_adapt with taper=True (same seeded pool) reproduces the
+    untapered trajectory to f32 noise."""
+    from openvqe_tpu.vqe import VQE
+
+    outs = {}
+    for taper in (False, True):
+        it, _ = VQE.algorithm(
+            "qubit_adapt", "H2", "singlet_gsd", "JW", False,
+            {"max_external_iterations": 2, "taper": taper,
+             "pool_seed": 7}).execute()
+        outs[taper] = it["energies"]
+    np.testing.assert_allclose(outs[True], outs[False], rtol=0, atol=5e-6)
