@@ -43,9 +43,10 @@ class EnergyUCC(_Base):
 
     def get_energies(self, hamiltonian_sp, cluster_ops, hf_init_sp,
                      theta_current1, theta_current2, fci,
-                     mesh=None) -> Tuple[Dict, Dict]:
+                     mesh=None, taper: bool = False) -> Tuple[Dict, Dict]:
         """Two runs: MP2 initial parameters vs fixed step (reference
-        get_energy_qucc.py:136-244, tol 1e-5, BFGS)."""
+        get_energy_qucc.py:136-244, tol 1e-5, BFGS).  ``taper=True`` tapers
+        the ansatz-compatible Z2 symmetries (exact) before each run."""
         iterations = {
             "minimum_energy_result1_guess": [],
             "minimum_energy_result2_guess": [],
@@ -63,10 +64,10 @@ class EnergyUCC(_Base):
         energies_2: List[float] = []
         opt1 = self._minimize(hamiltonian_sp, gens, hf_init_sp,
                               theta_current1, method, tolerance, energies_1,
-                              mesh=mesh)
+                              mesh=mesh, taper=taper)
         opt2 = self._minimize(hamiltonian_sp, gens, hf_init_sp,
                               theta_current2, method, tolerance, energies_2,
-                              mesh=mesh)
+                              mesh=mesh, taper=taper)
 
         counts = yordanov_gate_counts(self._excitation_indices(cluster_ops),
                                       hf_init_sp)

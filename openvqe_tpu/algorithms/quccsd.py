@@ -28,7 +28,8 @@ class QUCCSD(Algorithm):
         self.info = info
         iterations, result = energy_ucc.get_energies(
             hamiltonian_sp, cluster_ops, hf_init_sp,
-            theta_current1, theta_current2, info["FCI"], mesh=self.build_mesh())
+            theta_current1, theta_current2, info["FCI"], mesh=self.build_mesh(),
+            taper=bool(self.opts.get("taper", False)))
         print("iterations are:", iterations)
         print("results are:", result)
         self.iterations = iterations

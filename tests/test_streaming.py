@@ -243,7 +243,7 @@ def test_deep_pipeline_parity(data):
                                rtol=0, atol=1e-5)
 
 
-def test_pool_overlap_parity(data):
+def test_pool_overlap_parity(data, monkeypatch):
     """Streaming ADAPT screen == the XLA grouped pool-gradient overlaps."""
     x, z, coef, op, theta, psi = data
     rng = np.random.default_rng(11)
@@ -277,14 +277,11 @@ def test_pool_overlap_parity(data):
 
     # FUSED branch (OVQE_STREAM_FUSE=1): stage-class-partitioned bucketed
     # overlaps must agree with the per-group branch
-    import os as _osm
-    _osm.environ["OVQE_STREAM_FUSE"] = "1"
-    try:
-        grads_f = st.build_streaming_pool_gradient_fn(
-            gpool, lham=lambda p: jnp.asarray(sigma))
-        v_f = grads_f(psi)
-    finally:
-        del _osm.environ["OVQE_STREAM_FUSE"]
+    monkeypatch.setenv("OVQE_STREAM_FUSE", "1")
+    grads_f = st.build_streaming_pool_gradient_fn(
+        gpool, lham=lambda p: jnp.asarray(sigma))
+    v_f = grads_f(psi)
+    monkeypatch.delenv("OVQE_STREAM_FUSE")
     np.testing.assert_allclose(np.real(v_f), vre, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.imag(v_f), vim, rtol=1e-4, atol=1e-5)
 

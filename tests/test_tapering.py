@@ -187,6 +187,21 @@ def test_taper_composes_with_mesh():
     assert outs[True] == pytest.approx(float(md.info["FCI"]), abs=5e-4)
 
 
+def test_quccsd_taper_parity():
+    """QUCCSD with taper=True reproduces the untapered optimum: the qubit
+    excitations flip qubits in pairs per spin sector, so both Z2 parities
+    survive and the whole QUCC manifold tapers exactly."""
+    from openvqe_tpu.vqe import VQE
+
+    outs = {}
+    for taper in (False, True):
+        _, res = VQE.algorithm("quccsd", "H2", "QUCCSD", "JW", False,
+                               {"taper": taper}).execute()
+        outs[taper] = (res["energies1_substracted_from_FCI"],
+                       res["energies2_substracted_from_FCI"])
+    np.testing.assert_allclose(outs[True], outs[False], rtol=0, atol=5e-6)
+
+
 def test_qubit_adapt_taper_parity():
     """qubit_adapt with taper=True (same seeded pool) reproduces the
     untapered trajectory to f32 noise."""
