@@ -7,6 +7,12 @@ weighted cost sum_k w_k <psi_k|H|psi_k> minimized jointly.  Here the ansatz
 is a pure jitted statevector program and the weighted objective gets exact
 autodiff gradients; the reference finite-differences a circuit per term.
 
+No ``taper`` option here (unlike the UCC/QUCCSD/ADAPT families): the HEA's
+RY/RZ generators commute with no Z2 symmetry of the Hamiltonian (the joint
+GF(2) nullspace in ops/tapering is empty for single-qubit Y x-masks), and
+the subspace-search targets excited states that span symmetry sectors — an
+exact ansatz-aware taper does not exist for this algorithm.
+
 Includes the random transverse-field Ising model builder (ising, :23-42,
 same seed/coefficient layout) and the eigsh-based exact reference spectrum
 (:110-127).
