@@ -44,23 +44,31 @@ def main():
 
     seg2 = max(8, st.stream_segment_groups(n) // 2)
 
+    # the all-real certificate must ride a STATIC arg under jit (the
+    # library builders do the same: streaming.build_streaming_energy_fn)
+    ham_real = not np.asarray(gham.a_im).any()
+
     @partial(jax.jit, static_argnums=(0, 1, 2, 3))
     def seg_e(stages, cb, unroll, limbs, psi, *args):
         return st.expectation_bucketed(psi, *args, herm=True,
                                        chunk_bits=cb, unroll=unroll,
-                                       stages=stages, limbs=limbs)
+                                       stages=stages, limbs=limbs,
+                                       real=ham_real)
 
     def run(tag, cb, unroll, limbs, reps=3):
+        # thread the PER-CLASS chunk_bits through (the VMEM guard may
+        # lower it below the requested cb; mixing them corrupts the DMA
+        # pairing and kills the backend)
         classes = st.build_ham_buckets_split(gham, stage_split=True,
                                              chunk_bits=cb)
-        segs = [(st_, tuple(jnp.asarray(a) for a in s))
-                for st_, _, b in classes
+        segs = [(st_, cbc, tuple(jnp.asarray(a) for a in s))
+                for st_, cbc, b in classes
                 for s in st._bucket_segments(b, seg2)]
 
         def once():
             acc = jnp.float32(0.0)
-            for st_, s in segs:
-                acc = acc + seg_e(st_, cb, unroll, limbs, psi_dev, *s)
+            for st_, cbc, s in segs:
+                acc = acc + seg_e(st_, cbc, unroll, limbs, psi_dev, *s)
             return float(acc)
 
         v = once()                       # compile + warm

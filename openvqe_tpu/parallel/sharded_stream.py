@@ -348,6 +348,10 @@ class ShardedStreamObjective:
         def l_ham_seg(psi_loc, acc_loc, x_dev, cb, seg_args):
             phi = (jax.lax.ppermute(psi_loc, AXIS, _perm(x_dev, n_dev))
                    if x_dev else psi_loc)
+            # detect the all-real certificate on the HOST arrays (inside
+            # the trace bcim is a tracer and the static flag is lost)
+            real = (isinstance(seg_args[10], np.ndarray)
+                    and not seg_args[10].any())
             (bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr, bzc, bcre, bcim,
              bzdev) = [jnp.asarray(a) for a in seg_args]
             sc = (1 - 2 * (jax.lax.population_count(
@@ -355,7 +359,7 @@ class ShardedStreamObjective:
             return st.ham_apply_bucketed(
                 phi, acc_loc, bxh, bmb, bnout, bxc, bxm, bxl, bact,
                 bzr, bzc, bcre * sc, bcim * sc, chunk_bits=cb,
-                interpret=interpret)
+                interpret=interpret, real=real)
 
         # XLA impl: same split and exchange, grouped scan on the exchanged
         # copy (one fn per partition — no bucket segmentation needed)

@@ -1614,11 +1614,19 @@ def build_ham_buckets(gham, gcap: int = HAM_BUCKET_CAP,
     return base if bze is None else base + (bze,)
 
 
-def _ham_bucket_kernel(unroll, stages, xh_ref, mb_ref, nout_ref, xc_ref,
+def _ham_bucket_kernel(unroll, stages, real, xh_ref, mb_ref, nout_ref,
+                       xc_ref,
                        xm_ref, xl_ref, act_ref, zr_ref, zc_ref, cre_ref,
                        cim_ref, psi_ref, acc_in_ref, acc_ref, bufA, bufB,
-                       accA, accB, pmidS, ploS, smS, wlS, wlimS, zhiS,
-                       sin, sout):
+                       accA, accB, pmidS, ploS, smS, wlS, *rest):
+    # real=True (all cim zero) drops the imaginary weight field: scratch,
+    # hoist, per-group matmul, and VPU products (same saving as the
+    # expectation kernel — the field is ~40% of these kernels)
+    if real:
+        wlimS = None
+        zhiS, sin, sout = rest
+    else:
+        wlimS, zhiS, sin, sout = rest
     b = pl.program_id(0)
     xh = xh_ref[b]
     mb = mb_ref[b]
@@ -1628,7 +1636,8 @@ def _ham_bucket_kernel(unroll, stages, xh_ref, mb_ref, nout_ref, xc_ref,
     # per-bucket hoist: the per-(pair, group) _GroupCtx rebuild made this
     # kernel ~23x compute-bound over its DMA floor at 24q
     _hoist_ctx(b, Gcap, xm_ref, xl_ref, zr_ref, zc_ref, cre_ref,
-               pmidS, ploS, smS, wlS, zhiS, cim_ref=cim_ref, wlimS=wlimS)
+               pmidS, ploS, smS, wlS, zhiS,
+               cim_ref=None if real else cim_ref, wlimS=wlimS)
 
     def in_dmas(i, side):
         slot = i & 1
@@ -1666,6 +1675,10 @@ def _ham_bucket_kernel(unroll, stages, xh_ref, mb_ref, nout_ref, xc_ref,
 
     def add_group(dst, g2, P0, P1, h):
         Wre = _field_from(smS, wlS, zhiS, g2, h, C)
+        if real:
+            dst[0] += Wre * P0
+            dst[1] += Wre * P1
+            return
         Wim = _field_from(smS, wlimS, zhiS, g2, h, C)
         dst[0] += Wre * P0 - Wim * P1
         dst[1] += Wre * P1 + Wim * P0
@@ -1763,16 +1776,21 @@ def _ham_bucket_kernel(unroll, stages, xh_ref, mb_ref, nout_ref, xc_ref,
 def ham_apply_bucketed(psi, acc, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
                        bzc, bcre, bcim, interpret: Optional[bool] = None,
                        chunk_bits: int = CHUNK_BITS,
-                       unroll: Optional[bool] = None, stages: str = "lm"):
+                       unroll: Optional[bool] = None, stages: str = "lm",
+                       real: Optional[bool] = None):
     """acc += (off-diagonal grouped H)|psi> with groups BUCKETED by x_huge:
     one state pass per bucket instead of per group.  ``unroll`` statically
     unrolls the in-bucket group loop (OVQE_HAM_UNROLL=1 enables; default
     off pending hardware measurement).  ``stages`` statically certifies
     which in-tile permutation stages the groups need (builder stage
-    classes) — identity stages are skipped."""
+    classes) — identity stages are skipped.  ``real`` statically certifies
+    all cim == 0 and skips the imaginary weight field (auto-detected from
+    a host numpy bcim; pass explicitly when calling under jit)."""
     interpret = _resolve_interpret(interpret)
     if unroll is None:
         unroll = _os.environ.get("OVQE_HAM_UNROLL", "0") == "1"
+    if real is None:
+        real = isinstance(bcim, np.ndarray) and not bcim.any()
     B, Gcap, K = bzc.shape[0], bzc.shape[1], bzc.shape[-1]
     N = psi.shape[-1]
     T = N >> TILE_BITS
@@ -1805,7 +1823,9 @@ def ham_apply_bucketed(psi, acc, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
             pltpu.VMEM((Gcap, LANE, LANE), jnp.bfloat16),    # ploS
             pltpu.VMEM((Gcap, SUB, K), jnp.float32),         # smS
             pltpu.VMEM((Gcap, K, LANE), jnp.float32),        # wlS
-            pltpu.VMEM((Gcap, K, LANE), jnp.float32),        # wlimS
+        ] + ([] if real else
+             [pltpu.VMEM((Gcap, K, LANE), jnp.float32)]) +   # wlimS
+        [
             pltpu.VMEM((Gcap, 1, K), jnp.int32),             # zhiS
             pltpu.SemaphoreType.DMA((2, 8)),
             pltpu.SemaphoreType.DMA((2, 4)),
@@ -1813,7 +1833,7 @@ def ham_apply_bucketed(psi, acc, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
     )
     from functools import partial as _partial
     out = pl.pallas_call(
-        _partial(_ham_bucket_kernel, bool(unroll), stages),
+        _partial(_ham_bucket_kernel, bool(unroll), stages, bool(real)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(acc4.shape, jnp.float32),
         input_output_aliases={12: 0},
@@ -1979,11 +1999,20 @@ def build_ham_buckets_split(gham, gcap: int = HAM_BUCKET_CAP,
     return out
 
 
-def _expect_bucket_kernel(herm, unroll, stages, limbs, xh_ref, mb_ref,
+def _expect_bucket_kernel(herm, unroll, stages, limbs, real, xh_ref, mb_ref,
                           nout_ref,
                           xc_ref, xm_ref, xl_ref, act_ref, zr_ref, zc_ref,
                           cre_ref, cim_ref, psi_ref, out_ref, bufA, bufB,
-                          pmidS, ploS, smS, wlS, wlimS, zhiS, eacc, sin):
+                          pmidS, ploS, smS, wlS, *rest):
+    # real=True (all cim zero — every molecular Hamiltonian) drops the
+    # imaginary weight field entirely: its scratch, hoist, per-group
+    # matmul, and VPU products (the field is ~39% of this kernel, probe
+    # attribution at 24q)
+    if real:
+        wlimS = None
+        zhiS, eacc, sin = rest
+    else:
+        wlimS, zhiS, eacc, sin = rest
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -1996,7 +2025,8 @@ def _expect_bucket_kernel(herm, unroll, stages, limbs, xh_ref, mb_ref,
     C = bufA.shape[2]
     Gcap = act_ref.shape[1]
     _hoist_ctx(b, Gcap, xm_ref, xl_ref, zr_ref, zc_ref, cre_ref,
-               pmidS, ploS, smS, wlS, zhiS, cim_ref=cim_ref, wlimS=wlimS)
+               pmidS, ploS, smS, wlS, zhiS,
+               cim_ref=None if real else cim_ref, wlimS=wlimS)
     eacc[0, 0] = jnp.float32(0.0)
 
     def in_dmas(i, side):
@@ -2013,6 +2043,8 @@ def _expect_bucket_kernel(herm, unroll, stages, limbs, xh_ref, mb_ref,
 
     def contrib(g2, src, px0, px1, h):
         Wre = _field_from(smS, wlS, zhiS, g2, h, C)
+        if real:
+            return jnp.sum(Wre * (src[0] * px0 + src[1] * px1))
         Wim = _field_from(smS, wlimS, zhiS, g2, h, C)
         return jnp.sum(Wre * (src[0] * px0 + src[1] * px1)
                        - Wim * (src[0] * px1 - src[1] * px0))
@@ -2098,7 +2130,8 @@ def expectation_bucketed4(psi4, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
                           bzc, bcre, bcim, interpret: Optional[bool] = None,
                           chunk_bits: int = CHUNK_BITS, herm: bool = False,
                           unroll: Optional[bool] = None,
-                          stages: str = "lm", limbs: Optional[int] = None):
+                          stages: str = "lm", limbs: Optional[int] = None,
+                          real: Optional[bool] = None):
     """Off-diagonal grouped <psi|H|psi> on the TILED (2, T, 128, 128)
     state view, one state read per x_huge bucket.  herm=True certifies
     every group Hermitian and halves the cross-chunk compute.  ``limbs``
@@ -2108,12 +2141,16 @@ def expectation_bucketed4(psi4, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
     invisible in a summed scalar.  This kernel only ever produces the
     energy SCALAR (states evolve through the bitwise-x3 rotation/adjoint
     kernels), so the cheap default is safe; OVQE_EXP_MM=bf16x3 restores
-    bitwise behavior."""
+    bitwise behavior.  ``real`` statically certifies all cim == 0 and
+    skips the imaginary weight field (auto-detected from a host numpy
+    bcim; pass explicitly when calling under jit)."""
     interpret = _resolve_interpret(interpret)
     if unroll is None:
         unroll = _os.environ.get("OVQE_HAM_UNROLL", "0") == "1"
     if limbs is None:
         limbs = 3 if _os.environ.get("OVQE_EXP_MM", "") == "bf16x3" else 2
+    if real is None:
+        real = isinstance(bcim, np.ndarray) and not bcim.any()
     B, Gcap, K = bzc.shape[0], bzc.shape[1], bzc.shape[-1]
     C = 1 << chunk_bits
 
@@ -2140,7 +2177,9 @@ def expectation_bucketed4(psi4, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
             pltpu.VMEM((Gcap, LANE, LANE), jnp.bfloat16),    # ploS
             pltpu.VMEM((Gcap, SUB, K), jnp.float32),         # smS
             pltpu.VMEM((Gcap, K, LANE), jnp.float32),        # wlS
-            pltpu.VMEM((Gcap, K, LANE), jnp.float32),        # wlimS
+        ] + ([] if real else
+             [pltpu.VMEM((Gcap, K, LANE), jnp.float32)]) +   # wlimS
+        [
             pltpu.VMEM((Gcap, 1, K), jnp.int32),             # zhiS
             pltpu.SMEM((1, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4)),
@@ -2149,7 +2188,7 @@ def expectation_bucketed4(psi4, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
     from functools import partial as _partial
     out = pl.pallas_call(
         _partial(_expect_bucket_kernel, bool(herm), bool(unroll), stages,
-                 int(limbs)),
+                 int(limbs), bool(real)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -2166,7 +2205,8 @@ def expectation_bucketed(psi, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
                          bzc, bcre, bcim, interpret: Optional[bool] = None,
                          chunk_bits: int = CHUNK_BITS, herm: bool = False,
                          unroll: Optional[bool] = None,
-                         stages: str = "lm", limbs: Optional[int] = None):
+                         stages: str = "lm", limbs: Optional[int] = None,
+                         real: Optional[bool] = None):
     """As expectation_bucketed4 on the flat (2, N) state view."""
     N = psi.shape[-1]
     T = N >> TILE_BITS
@@ -2175,7 +2215,8 @@ def expectation_bucketed(psi, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
                                  bact, bzr, bzc, bcre, bcim,
                                  interpret=interpret,
                                  chunk_bits=chunk_bits, herm=herm,
-                                 unroll=unroll, stages=stages, limbs=limbs)
+                                 unroll=unroll, stages=stages, limbs=limbs,
+                                 real=real)
 
 
 def _bucket_segments(bargs, seg_groups: int, act_idx: int = 6):
@@ -2985,6 +3026,10 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
         seg = stream_segment_groups(n)
     rd = default_rdtype()
     hermitian = gham.hermitian
+    # every molecular Hamiltonian compiles to purely real group
+    # coefficients: certify it once and the bucketed kernels drop the
+    # imaginary weight field (its matmul is ~40% of their compute)
+    ham_real = not np.asarray(gham.a_im).any()
     zd, adr, adi = gham.z_diag, gham.a_diag_re, gham.a_diag_im
     c_re = np.asarray(gham.c_re, rd)
 
@@ -3138,7 +3183,8 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
                   bact, bzr, bzc, bcre, bcim):
         return ham_apply_bucketed(psi, acc, bxh, bmb, bnout, bxc, bxm,
                                   bxl, bact, bzr, bzc, bcre, bcim,
-                                  chunk_bits=cb, stages=stages)
+                                  chunk_bits=cb, stages=stages,
+                                  real=ham_real)
 
     def _lham(psi, include_const: bool = True):
         acc = _diag_ham(psi, include_const=include_const)
@@ -3152,7 +3198,7 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
         return expectation_bucketed(psi, bxh, bmb, bnout, bxc, bxm, bxl,
                                     bact, bzr, bzc, bcre, bcim,
                                     chunk_bits=cb, herm=hermitian,
-                                    stages=stages)
+                                    stages=stages, real=ham_real)
 
     def _expectation(psi):
         # energy-only: the bucketed EXPECTATION kernel reads the state
@@ -3259,13 +3305,19 @@ def build_streaming_energy_xl_fn(gseq, gham, hf_init: int,
                                         bcre, fmode=fmode,
                                         interpret=interpret)
 
+    # diagonal rows fold into the expectation buckets as x=0 groups, so
+    # their imaginary parts count toward the certificate too
+    ham_real = not (np.asarray(gham.a_im).any()
+                    or np.asarray(gham.a_diag_im).any())
+
     @partial(jax.jit, static_argnums=(0, 1))
     def _expb4_seg(stages, cb, psi4, bxh, bmb, bnout, bxc, bxm, bxl, bact,
                    bzr, bzc, bcre, bcim):
         return expectation_bucketed4(psi4, bxh, bmb, bnout, bxc, bxm, bxl,
                                      bact, bzr, bzc, bcre, bcim,
                                      chunk_bits=cb, herm=True,
-                                     stages=stages, interpret=interpret)
+                                     stages=stages, interpret=interpret,
+                                     real=ham_real)
 
     hf_t, hf_r = divmod(int(hf_init), SUB * LANE)
     hf_s, hf_l = divmod(hf_r, LANE)
