@@ -2464,11 +2464,20 @@ def build_pool_buckets(sd: StreamGroupData, gcap: int = HAM_BUCKET_CAP):
             slot_group)
 
 
-def _pool_bucket_kernel(stages, limbs, xh_ref, mb_ref, nout_ref, xc_ref,
+def _pool_bucket_kernel(stages, limbs, real, xh_ref, mb_ref, nout_ref,
+                        xc_ref,
                         xm_ref, xl_ref,
                         act_ref, zr_ref, zc_ref, cre_ref, cim_ref, sig_ref,
                         psi_ref, out_ref, sigA, sigB, bufA, bufB, pmidS,
-                        ploS, smS, wlS, wlimS, zhiS, sin):
+                        ploS, smS, wlS, *rest):
+    # real=True certifies every pool coefficient real (UCCSD/GSD pools
+    # compile that way): the imaginary weight field drops out of the
+    # screen — the complex overlap structure lives in the STATES
+    if real:
+        wlimS = None
+        zhiS, sin = rest
+    else:
+        wlimS, zhiS, sin = rest
     b = pl.program_id(0)
     xh = xh_ref[b]
     mb = mb_ref[b]
@@ -2476,7 +2485,8 @@ def _pool_bucket_kernel(stages, limbs, xh_ref, mb_ref, nout_ref, xc_ref,
     C = bufA.shape[2]
     Gcap = act_ref.shape[1]
     _hoist_ctx(b, Gcap, xm_ref, xl_ref, zr_ref, zc_ref, cre_ref,
-               pmidS, ploS, smS, wlS, zhiS, cim_ref=cim_ref, wlimS=wlimS)
+               pmidS, ploS, smS, wlS, zhiS,
+               cim_ref=None if real else cim_ref, wlimS=wlimS)
 
     out_ref[...] = jnp.zeros(out_ref.shape, jnp.float32)
 
@@ -2502,9 +2512,12 @@ def _pool_bucket_kernel(stages, limbs, xh_ref, mb_ref, nout_ref, xc_ref,
 
     def contrib(g2, sig, px0, px1, h):
         Wre = _field_from(smS, wlS, zhiS, g2, h, C)
-        Wim = _field_from(smS, wlimS, zhiS, g2, h, C)
-        zr_ = Wre * px0 - Wim * px1
-        zi_ = Wre * px1 + Wim * px0
+        if real:
+            zr_, zi_ = Wre * px0, Wre * px1
+        else:
+            Wim = _field_from(smS, wlimS, zhiS, g2, h, C)
+            zr_ = Wre * px0 - Wim * px1
+            zi_ = Wre * px1 + Wim * px0
         re = jnp.sum(sig[0] * zr_ + sig[1] * zi_)
         im = jnp.sum(sig[0] * zi_ - sig[1] * zr_)
         return re, im
@@ -2578,16 +2591,20 @@ def pool_overlap_bucketed(sigma, psi, bxh, bmb, bnout, bxc, bxm, bxl, bact,
                           bzr, bzc, bcre, bcim,
                           interpret: Optional[bool] = None,
                           chunk_bits: int = FUSED_CHUNK_BITS,
-                          stages: str = "lm", limbs: Optional[int] = None):
+                          stages: str = "lm", limbs: Optional[int] = None,
+                          real: Optional[bool] = None):
     """Per-(bucket, slot) complex overlaps <sigma| group |psi> with both
     states streamed ONCE per x_huge bucket.  Returns (B, Gcap, 2).
     ``stages`` statically certifies which in-tile permutation stages the
     groups need (caller class-sorts — overlaps are order-free);
     ``limbs`` as expectation_bucketed4 (screen SCALARS only, never state
-    evolution, so the cheap bf16x2 default is safe)."""
+    evolution, so the cheap bf16x2 default is safe); ``real`` statically
+    certifies all cim == 0 and skips the imaginary weight field."""
     interpret = _resolve_interpret(interpret)
     if limbs is None:
         limbs = 3 if _os.environ.get("OVQE_EXP_MM", "") == "bf16x3" else 2
+    if real is None:
+        real = isinstance(bcim, np.ndarray) and not bcim.any()
     B, Gcap, K = bzc.shape[0], bzc.shape[1], bzc.shape[-1]
     N = psi.shape[-1]
     T = N >> TILE_BITS
@@ -2621,14 +2638,16 @@ def pool_overlap_bucketed(sigma, psi, bxh, bmb, bnout, bxc, bxm, bxl, bact,
             pltpu.VMEM((Gcap, LANE, LANE), jnp.bfloat16),    # ploS
             pltpu.VMEM((Gcap, SUB, K), jnp.float32),         # smS
             pltpu.VMEM((Gcap, K, LANE), jnp.float32),        # wlS
-            pltpu.VMEM((Gcap, K, LANE), jnp.float32),        # wlimS
+        ] + ([] if real else
+             [pltpu.VMEM((Gcap, K, LANE), jnp.float32)]) +   # wlimS
+        [
             pltpu.VMEM((Gcap, 1, K), jnp.int32),             # zhiS
             pltpu.SemaphoreType.DMA((2, 8)),
         ],
     )
     from functools import partial as _partial
     rows = pl.pallas_call(
-        _partial(_pool_bucket_kernel, stages, int(limbs)),
+        _partial(_pool_bucket_kernel, stages, int(limbs), bool(real)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Gcap, LANE), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -2696,12 +2715,17 @@ def build_streaming_pool_gradient_fn(gpool, lham, seg: Optional[int] = None):
 
         from functools import partial as _partial
 
+        # UCCSD/GSD pools compile to purely real coefficients — certify
+        # once and the screen kernel drops its imaginary weight field
+        pool_real = sd.cim is None or not np.asarray(sd.cim).any()
+
         @_partial(jax.jit, static_argnums=(0,))
         def _seg_overlap_b(stages, sig, psi, bxh, bmb, bnout, bxc, bxm,
                            bxl, bact, bzr, bzc, bcre, bcim, ops, liv):
             rows = pool_overlap_bucketed(sig, psi, bxh, bmb, bnout, bxc,
                                          bxm, bxl, bact, bzr, bzc, bcre,
-                                         bcim, stages=stages)
+                                         bcim, stages=stages,
+                                         real=pool_real)
             return rows * liv[:, :, None]
 
         @jax.jit
