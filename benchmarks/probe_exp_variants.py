@@ -89,6 +89,60 @@ def main():
     v2 = run("C8 x2limb", 3, False, 2)
     print(json.dumps({"bf16x2_abs_err": abs(v2 - v0)}), flush=True)
 
+    # HOISTED kernel: one sublane perm per distinct x_mid + one lane perm
+    # per distinct x_lane per chunk pair (library default for Hermitian H)
+    def run_hoisted(tag, cb, limbs, caps=8, reps=3):
+        classes = st.build_ham_buckets_split(gham, stage_split=True,
+                                             chunk_bits=cb)
+        segs = []
+        for st_, cbc, b in classes:
+            if st_:
+                hargs = st.hoist_bucket_args(b, um_cap=caps, ul_cap=caps)
+                segs += [("hoist", st_, cbc,
+                          tuple(jnp.asarray(a) for a in s))
+                         for s in st._bucket_segments(hargs, seg2)]
+            else:
+                segs += [("plain", st_, cbc,
+                          tuple(jnp.asarray(a) for a in s))
+                         for s in st._bucket_segments(b, seg2)]
+
+        @partial(jax.jit, static_argnums=(0, 1, 2))
+        def seg_h(stages, cbc, limbs, psi, *args):
+            psi4 = psi.reshape(2, psi.shape[-1] >> st.TILE_BITS, 128, 128)
+            return st.expectation_hoisted4(psi4, args, chunk_bits=cbc,
+                                           stages=stages, limbs=limbs,
+                                           real=ham_real)
+
+        def once():
+            acc = jnp.float32(0.0)
+            for kind, st_, cbc, s in segs:
+                if kind == "hoist":
+                    acc = acc + seg_h(st_, cbc, limbs, psi_dev, *s)
+                else:
+                    acc = acc + seg_e(st_, cbc, False, limbs, psi_dev, *s)
+            return float(acc)
+
+        v = once()
+        t0 = time.time()
+        for _ in range(reps):
+            v = once()
+        dt = (time.time() - t0) / reps
+        print(json.dumps({"variant": tag,
+                          "ms_per_group": round(1e3 * dt / gham.n_groups,
+                                                4),
+                          "s_per_pass": round(dt, 4), "value": v}),
+              flush=True)
+        return v
+
+    # measured 2026-08-18 (v5e): plain C4 0.654, HOISTED C4 0.687 —
+    # the hoist LOSES (VMEM table writes + dynamic-indexed per-group
+    # reads exceed the 1.5x matmul-stage saving); caps=12 tables blow
+    # the 16M scoped-VMEM limit.  OVQE_EXP_HOIST stays default-off.
+    v4 = run("plain C4 x2limb", 2, False, 2)
+    vh = run_hoisted("HOISTED C4 x2limb", 2, 2)
+    print(json.dumps({"hoisted_abs_err": abs(vh - v0),
+                      "plain_c4": v4}), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -53,6 +53,9 @@ SUB = 128
 TILE_BITS = 14
 CHUNK_BITS = 3                 # C = 8 tiles/chunk = 512 KB per plane-chunk
 ADJ_CHUNK_BITS = 2             # adjoint streams 4 states: half-size chunks
+EXP_HOIST_CHUNK_BITS = 2       # hoisted expectation: the unique-mask
+                               # permuted-chunk tables live in VMEM next
+                               # to the staging buffers — half-size chunks
 MIN_N = TILE_BITS + CHUNK_BITS + 1
 
 
@@ -1904,6 +1907,20 @@ _HAM_VMEM_BUDGET = 14 << 20   # leave ~2 MB of the 16 MB scoped-VMEM
                               # limit for operand blocks + compiler stack
 
 
+def _exp_hoist_vmem_est(C: int, gcap: int, K: int, um: int, ul: int,
+                        stages: str, real: bool) -> int:
+    """Scoped-VMEM estimate for the HOISTED expectation kernel: 2 staging
+    buffers + unique-mask permuted-chunk tables + field blocks."""
+    tile = SUB * LANE * 4
+    est = 2 * (2 * 2 * C * tile)                     # bufA + bufB
+    if "m" in stages:
+        est += um * 2 * C * tile + um * SUB * SUB * 2
+    if "l" in stages:
+        est += ul * 2 * C * tile + ul * LANE * LANE * 2
+    est += gcap * (SUB * K * 4 + (1 if real else 2) * K * LANE * 4 + K * 4)
+    return est
+
+
 def _ham_apply_vmem_est(C: int, gcap: int, K: int) -> int:
     """Host-side scoped-VMEM estimate for ham_apply_bucketed: 4 staging
     buffers + hoisted per-bucket contexts + the batched-perm X stack.
@@ -2217,6 +2234,328 @@ def expectation_bucketed(psi, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
                                  chunk_bits=chunk_bits, herm=herm,
                                  unroll=unroll, stages=stages, limbs=limbs,
                                  real=real)
+
+
+def _expect_hoist_kernel(stages, limbs, real, xh_ref, mb_ref, nout_ref,
+                         xc_ref, ixm_ref, ixl_ref, act_ref, uxm_ref,
+                         uxl_ref, zr_ref, zc_ref, cre_ref, cim_ref,
+                         psi_ref, out_ref, bufA, bufB, *rest):
+    """HOISTED Hermitian bucketed expectation: per chunk-pair the ket
+    chunk is sublane-permuted once per DISTINCT x_mid and the bra chunk
+    lane-permuted once per DISTINCT x_lane (tables in VMEM scratch); per
+    group only a tile roll + field + elementwise contraction remains.
+    Valid because the bucket sum is order-free and the lane shift of the
+    weight field folds into the coefficients (hoist_bucket_args).  The
+    perm chain was 46% of the non-hoisted kernel at 24q with ~1.4-1.5x
+    redundancy across groups (measured mask-sharing, H12/H15+)."""
+    it = iter(rest)
+    XMS = next(it) if "m" in stages else None
+    pmuS = next(it) if "m" in stages else None
+    ALS = next(it) if "l" in stages else None
+    pluS = next(it) if "l" in stages else None
+    smS = next(it)
+    wlS = next(it)
+    wlimS = None if real else next(it)
+    zhiS = next(it)
+    eacc = next(it)
+    sin = next(it)
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        out_ref[0, 0] = jnp.float32(0.0)
+
+    xh = xh_ref[b]
+    mb = mb_ref[b]
+    nout = nout_ref[b]
+    C = bufA.shape[2]
+    Gcap = act_ref.shape[1]
+    UM = uxm_ref.shape[1] if XMS is not None else 0
+    UL = uxl_ref.shape[1] if ALS is not None else 0
+
+    # once-per-bucket hoists: unique permutation matrices + field blocks
+    if XMS is not None:
+        def pm_body(u, _):
+            pmuS[u] = _perm_matrix(
+                jnp.maximum(uxm_ref[b, u], 0)).astype(pmuS.dtype)
+            return 0
+        jax.lax.fori_loop(0, UM, pm_body, 0)
+    if ALS is not None:
+        def pl_body(v, _):
+            pluS[v] = _perm_matrix(
+                jnp.maximum(uxl_ref[b, v], 0)).astype(pluS.dtype)
+            return 0
+        jax.lax.fori_loop(0, UL, pl_body, 0)
+
+    def fld_body(g2, _):
+        zc = zc_ref[0, g2]
+        zr = zr_ref[0, g2]
+        si = jax.lax.broadcasted_iota(jnp.int32, (SUB, zc.shape[-1]), 0)
+        smS[g2] = _parity_sign(si & ((zc >> 7) & (SUB - 1)))
+        li = jax.lax.broadcasted_iota(jnp.int32, (zr.shape[0], LANE), 1)
+        lane_s = _parity_sign(li & (zr & (LANE - 1)))
+        wlS[g2] = cre_ref[0, g2] * lane_s
+        if wlimS is not None:
+            wlimS[g2] = cim_ref[0, g2] * lane_s
+        zhiS[g2] = (zc >> TILE_BITS)
+        return 0
+
+    jax.lax.fori_loop(0, Gcap, fld_body, 0)
+    eacc[0, 0] = jnp.float32(0.0)
+
+    def in_dmas(i, side):
+        slot = i & 1
+        h = _pair_index(i, xh, mb)
+        hh = h ^ xh
+        if side == "a":
+            return [pltpu.make_async_copy(psi_ref.at[p, pl.ds(h * C, C)],
+                                          bufA.at[slot, p], sin.at[slot, p])
+                    for p in (0, 1)]
+        return [pltpu.make_async_copy(psi_ref.at[p, pl.ds(hh * C, C)],
+                                      bufB.at[slot, p], sin.at[slot, 2 + p])
+                for p in (0, 1)]
+
+    @pl.when(nout > 0)
+    def _():
+        _start(in_dmas(0, "a"))
+
+        @pl.when(xh > 0)
+        def _():
+            _start(in_dmas(0, "b"))
+
+    def outer(i, _):
+        slot = i & 1
+        h = _pair_index(i, xh, mb)
+
+        @pl.when(i + 1 < nout)
+        def _():
+            _start(in_dmas(i + 1, "a"))
+
+            @pl.when(xh > 0)
+            def _():
+                _start(in_dmas(i + 1, "b"))
+
+        _wait(in_dmas(i, "a"))
+
+        @pl.when(xh > 0)
+        def _():
+            _wait(in_dmas(i, "b"))
+
+        # the KET chunk: the cross-chunk partner when pairing, else the
+        # resident chunk itself (herm mode doubles the paired side)
+        def ket():
+            return jnp.where(xh > 0,
+                             jnp.stack([bufB[slot, 0], bufB[slot, 1]]),
+                             jnp.stack([bufA[slot, 0], bufA[slot, 1]]))
+
+        if XMS is not None:
+            def xm_body(u, _):
+                @pl.when(uxm_ref[b, u] >= 0)
+                def _():
+                    XMS[u] = _perm_batched(ket(), pmuS[u], pmuS[u], 0,
+                                           "m", limbs=limbs)
+                return 0
+            jax.lax.fori_loop(0, UM, xm_body, 0)
+        if ALS is not None:
+            def al_body(v, _):
+                @pl.when(uxl_ref[b, v] >= 0)
+                def _():
+                    A = jnp.stack([bufA[slot, 0], bufA[slot, 1]])
+                    ALS[v] = _perm_batched(A, pluS[v], pluS[v], 0, "l",
+                                           limbs=limbs)
+                return 0
+            jax.lax.fori_loop(0, UL, al_body, 0)
+
+        def group_body(g2, _):
+            @pl.when(act_ref[b, g2] != 0)
+            def _():
+                xc = xc_ref[b, g2]
+                X2 = XMS[ixm_ref[b, g2]] if XMS is not None else ket()
+                Xr = _xor_roll(X2, xc, 1)
+                if ALS is not None:
+                    Asrc = ALS[ixl_ref[b, g2]]
+                else:
+                    Asrc = jnp.stack([bufA[slot, 0], bufA[slot, 1]])
+                Wre = _field_from(smS, wlS, zhiS, g2, h, C)
+                s_re = Wre * (Asrc[0] * Xr[0] + Asrc[1] * Xr[1])
+                if real:
+                    c = jnp.sum(s_re)
+                else:
+                    Wim = _field_from(smS, wlimS, zhiS, g2, h, C)
+                    c = jnp.sum(s_re - Wim * (Asrc[0] * Xr[1]
+                                              - Asrc[1] * Xr[0]))
+                eacc[0, 0] += jnp.where(xh > 0, 2.0, 1.0) * c
+
+            return 0
+
+        jax.lax.fori_loop(0, Gcap, group_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, nout, outer, 0)
+    out_ref[0, 0] += eacc[0, 0]
+
+
+def expectation_hoisted4(psi4, hargs, interpret: Optional[bool] = None,
+                         chunk_bits: int = CHUNK_BITS, stages: str = "lm",
+                         limbs: Optional[int] = None,
+                         real: Optional[bool] = None):
+    """Hoisted Hermitian bucketed <psi|H_offdiag|psi> on the tiled state.
+    ``hargs`` is the 13-tuple from hoist_bucket_args.  Only Hermitian
+    groups are supported (the builder certifies; the non-hoisted kernel
+    remains the general path)."""
+    (bxh, bmb, bnout, bxc, ixm, ixl, bact, bzr, bzc, bcre, bcim,
+     uxm, uxl) = hargs
+    interpret = _resolve_interpret(interpret)
+    if limbs is None:
+        limbs = 3 if _os.environ.get("OVQE_EXP_MM", "") == "bf16x3" else 2
+    if real is None:
+        real = isinstance(bcim, np.ndarray) and not bcim.any()
+    B, Gcap, K = bzc.shape[0], bzc.shape[1], bzc.shape[-1]
+    UM, UL = uxm.shape[1], uxl.shape[1]
+    C = 1 << chunk_bits
+
+    scratch = [
+        pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),       # bufA
+        pltpu.VMEM((2, 2, C, SUB, LANE), jnp.float32),       # bufB
+    ]
+    if "m" in stages:
+        scratch += [pltpu.VMEM((UM, 2, C, SUB, LANE), jnp.float32),  # XMS
+                    pltpu.VMEM((UM, SUB, SUB), jnp.bfloat16)]        # pmuS
+    if "l" in stages:
+        scratch += [pltpu.VMEM((UL, 2, C, SUB, LANE), jnp.float32),  # ALS
+                    pltpu.VMEM((UL, LANE, LANE), jnp.bfloat16)]      # pluS
+    scratch += [
+        pltpu.VMEM((Gcap, SUB, K), jnp.float32),             # smS
+        pltpu.VMEM((Gcap, K, LANE), jnp.float32),            # wlS
+    ]
+    if not real:
+        scratch += [pltpu.VMEM((Gcap, K, LANE), jnp.float32)]  # wlimS
+    scratch += [
+        pltpu.VMEM((Gcap, 1, K), jnp.int32),                 # zhiS
+        pltpu.SMEM((1, 1), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 4)),
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=9,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Gcap, K, 1), lambda b, *r: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gcap, 1, K), lambda b, *r: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gcap, K, 1), lambda b, *r: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Gcap, K, 1), lambda b, *r: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),        # psi
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda b, *r: (0, 0),
+                               memory_space=pltpu.SMEM),
+        scratch_shapes=scratch,
+    )
+    from functools import partial as _partial
+    out = pl.pallas_call(
+        _partial(_expect_hoist_kernel, stages, int(limbs), bool(real)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(jnp.asarray(bxh), jnp.asarray(bmb), jnp.asarray(bnout),
+      jnp.asarray(bxc), jnp.asarray(ixm), jnp.asarray(ixl),
+      jnp.asarray(bact), jnp.asarray(uxm), jnp.asarray(uxl),
+      jnp.asarray(bzr), jnp.asarray(bzc), jnp.asarray(bcre),
+      jnp.asarray(bcim), psi4)
+    return out[0, 0]
+
+
+def hoist_bucket_args(bargs, um_cap: int = 8, ul_cap: int = 8):
+    """Rewrite x_huge bucket args for the HOISTED expectation kernel.
+
+    The bucketed expectation is order-free, so the per-group in-tile
+    permutation factors across the bucket: the ket chunk is
+    sublane-permuted ONCE per distinct x_mid and the bra chunk
+    lane-permuted ONCE per distinct x_lane — the lane shift of the weight
+    field folds into the coefficients as the scalar sign
+    (-1)^parity(z_lane & x_lane) (substitute c -> c^x_lane in the
+    contraction).  Per group only a tile roll + elementwise contraction
+    remains.  Buckets whose distinct-mask counts exceed the caps are
+    split (groups sorted by (x_mid, x_lane) first — the sum is
+    order-free).
+
+    In: (bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr, bzc, bcre, bcim).
+    Out: (bxh, bmb, bnout, bxc, ixm, ixl, bact, bzr, bzc, bcre', bcim',
+    uxm, uxl) where ixm/ixl index per-slot into the (B, cap) unique-mask
+    tables (padded with -1) and the coefficients carry the fold sign."""
+    (bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr, bzc, bcre, bcim) = [
+        np.asarray(a) for a in bargs]
+    B, gcap = bact.shape
+    K = bzr.shape[2]
+    out_rows = []        # (src_bucket, slot_indices ordered)
+    for b in range(B):
+        slots = np.where(bact[b] != 0)[0]
+        if not len(slots):
+            continue
+        order = slots[np.lexsort((bxl[b, slots], bxm[b, slots]))]
+        cur: List[int] = []
+        um: set = set()
+        ul: set = set()
+        for s in order:
+            m_, l_ = int(bxm[b, s]), int(bxl[b, s])
+            nm = um | {m_}
+            nl = ul | {l_}
+            if cur and (len(nm) > um_cap or len(nl) > ul_cap
+                        or len(cur) >= gcap):
+                out_rows.append((b, cur))
+                cur, um, ul = [], set(), set()
+                nm, nl = {m_}, {l_}
+            cur.append(int(s))
+            um, ul = nm, nl
+        if cur:
+            out_rows.append((b, cur))
+    B2 = len(out_rows)
+    oxh = np.zeros(B2, bxh.dtype)
+    omb = np.zeros(B2, bmb.dtype)
+    onout = np.zeros(B2, bnout.dtype)
+    oxc = np.zeros((B2, gcap), bxc.dtype)
+    ixm = np.zeros((B2, gcap), np.int32)
+    ixl = np.zeros((B2, gcap), np.int32)
+    oact = np.zeros((B2, gcap), bact.dtype)
+    ozr = np.zeros((B2, gcap, K, 1), bzr.dtype)
+    ozc = np.zeros((B2, gcap, 1, K), bzc.dtype)
+    ocre = np.zeros((B2, gcap, K, 1), bcre.dtype)
+    ocim = np.zeros((B2, gcap, K, 1), bcim.dtype)
+    uxm = np.full((B2, um_cap), -1, np.int32)
+    uxl = np.full((B2, ul_cap), -1, np.int32)
+    for b2, (b, slots) in enumerate(out_rows):
+        oxh[b2] = bxh[b]
+        omb[b2] = bmb[b]
+        onout[b2] = bnout[b]
+        ums = sorted({int(bxm[b, s]) for s in slots})
+        uls = sorted({int(bxl[b, s]) for s in slots})
+        uxm[b2, : len(ums)] = ums
+        uxl[b2, : len(uls)] = uls
+        for j, s in enumerate(slots):
+            oxc[b2, j] = bxc[b, s]
+            ixm[b2, j] = ums.index(int(bxm[b, s]))
+            ixl[b2, j] = uls.index(int(bxl[b, s]))
+            oact[b2, j] = 1
+            ozr[b2, j] = bzr[b, s]
+            ozc[b2, j] = bzc[b, s]
+            # fold the lane shift of the weight field: wl_k(c ^ xl) =
+            # wl_k(c) * (-1)^parity((z_lane_k) & xl)
+            lane_z = np.asarray(bzr[b, s, :, 0], np.int64) & (LANE - 1)
+            eps = 1.0 - 2.0 * (np.vectorize(_popcount_np)(
+                lane_z & int(bxl[b, s])) & 1)
+            ocre[b2, j, :, 0] = bcre[b, s, :, 0] * eps
+            ocim[b2, j, :, 0] = bcim[b, s, :, 0] * eps
+    return (oxh, omb, onout, oxc, ixm, ixl, oact, ozr, ozc, ocre, ocim,
+            uxm, uxl)
+
+
+def _popcount_np(v):
+    return bin(int(v)).count("1")
 
 
 def _bucket_segments(bargs, seg_groups: int, act_idx: int = 6):
@@ -3075,7 +3414,38 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
                   if hd.G else [])
     hb_segments = [(st_, cb, s) for st_, cb, b in hb_classes
                    for s in _bucket_segments(b, seg2)]
-    eb_segments = hb_segments
+    # EXPECTATION segments: OVQE_EXP_HOIST=1 routes Hermitian classes
+    # with in-tile perms through the HOISTED kernel (one sublane perm per
+    # distinct x_mid + one lane perm per distinct x_lane per chunk pair —
+    # the order-free factorization of the perm chain, which is 46% of the
+    # plain kernel).  Default OFF: measured on v5e/24q the hoisted pass
+    # is SLOWER (0.687 s vs 0.654 plain at C=4, 0.604 at C=8) — the
+    # VMEM permuted-chunk-table writes + per-group dynamic-indexed reads
+    # cost more than the 1.5x matmul-stage saving, and the tables force
+    # half-size chunks (benchmarks/probe_exp_variants.py).  Kept as an
+    # A/B-able variant; values match the plain kernel to 1e-10.
+    _hoist = (_os.environ.get("OVQE_EXP_HOIST", "0") == "1" and hermitian
+              and hd.G)
+    if _hoist:
+        eb_segments = []
+        for st_, cbc, b in build_ham_buckets_split(
+                gham, stage_split=True, chunk_bits=EXP_HOIST_CHUNK_BITS):
+            if st_:
+                gc, Kc = b[6].shape[1], b[8].shape[-1]
+                caps = 8
+                while caps > 2 and _exp_hoist_vmem_est(
+                        1 << cbc, gc, Kc, caps, caps, st_,
+                        ham_real) > _HAM_VMEM_BUDGET:
+                    caps -= 2
+                hargs = hoist_bucket_args(b, um_cap=caps, ul_cap=caps)
+                eb_segments += [("hoist", st_, cbc, s)
+                                for s in _bucket_segments(hargs, seg2)]
+            else:
+                eb_segments += [("plain", st_, cbc, s)
+                                for s in _bucket_segments(b, seg2)]
+    else:
+        eb_segments = [("plain", st_, cbc, s)
+                       for st_, cbc, s in hb_segments]
     # per-group expectation operands only matter when the bucketed path is
     # unavailable — don't pin unused device arrays otherwise
     h_segments = ([tuple(jnp.asarray(a) for a in s)
@@ -3224,6 +3594,13 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
                                     chunk_bits=cb, herm=hermitian,
                                     stages=stages, real=ham_real)
 
+    @partial(jax.jit, static_argnums=(0, 1))
+    def _exph_seg(stages, cb, psi, *s):
+        psi4 = jnp.asarray(psi, jnp.float32).reshape(
+            2, psi.shape[-1] >> TILE_BITS, SUB, LANE)
+        return expectation_hoisted4(psi4, s, chunk_bits=cb, stages=stages,
+                                    real=ham_real)
+
     def _expectation(psi):
         # energy-only: the bucketed EXPECTATION kernel reads the state
         # ONCE per x_huge bucket with no accumulator state (the H-apply
@@ -3233,8 +3610,11 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
         # energy_and_grad keeps the H-apply route: it needs lam anyway.
         if eb_segments:
             acc = _diag_expect(psi)
-            for st_, cb, s in eb_segments:
-                acc = acc + _expb_seg(st_, cb, psi, *s)
+            for kind, st_, cb, s in eb_segments:
+                if kind == "hoist":
+                    acc = acc + _exph_seg(st_, cb, psi, *s)
+                else:
+                    acc = acc + _expb_seg(st_, cb, psi, *s)
             return float(acc)
         acc = _diag_expect(psi)
         for s in h_segments:
@@ -3343,6 +3723,11 @@ def build_streaming_energy_xl_fn(gseq, gham, hf_init: int,
                                      stages=stages, interpret=interpret,
                                      real=ham_real)
 
+    @partial(jax.jit, static_argnums=(0, 1))
+    def _exph4_seg(stages, cb, psi4, *s):
+        return expectation_hoisted4(psi4, s, chunk_bits=cb, stages=stages,
+                                    interpret=interpret, real=ham_real)
+
     hf_t, hf_r = divmod(int(hf_init), SUB * LANE)
     hf_s, hf_l = divmod(hf_r, LANE)
 
@@ -3364,10 +3749,29 @@ def build_streaming_energy_xl_fn(gseq, gham, hf_init: int,
     else:
         fwd = []
     seg2 = max(8, seg // 2)
-    hsegs = [(st_, cb, tuple(jnp.asarray(a) for a in s))
-             for st_, cb, b in build_ham_buckets_split(
-                 gham, with_diag=True, stage_split=True)
-             for s in _bucket_segments(b, seg2)]
+    # OVQE_EXP_HOIST=1 rides the hoisted kernel for in-tile-perm classes
+    # (measured SLOWER on v5e — see build_streaming_energy_fn; default
+    # off); the perm-free class (incl. the folded diagonal) always stays
+    # on the plain bucketed kernel
+    _hoist = (_os.environ.get("OVQE_EXP_HOIST", "0") == "1"
+              and gham.hermitian)
+    hsegs = []
+    for st_, cb, b in build_ham_buckets_split(
+            gham, with_diag=True, stage_split=True,
+            chunk_bits=EXP_HOIST_CHUNK_BITS if _hoist else CHUNK_BITS):
+        if _hoist and st_:
+            gc, Kc = b[6].shape[1], b[8].shape[-1]
+            caps = 8
+            while caps > 2 and _exp_hoist_vmem_est(
+                    1 << cb, gc, Kc, caps, caps, st_,
+                    ham_real) > _HAM_VMEM_BUDGET:
+                caps -= 2
+            hargs = hoist_bucket_args(b, um_cap=caps, ul_cap=caps)
+            hsegs += [("hoist", st_, cb, tuple(jnp.asarray(a) for a in s))
+                      for s in _bucket_segments(hargs, seg2)]
+        else:
+            hsegs += [("plain", st_, cb, tuple(jnp.asarray(a) for a in s))
+                      for s in _bucket_segments(b, seg2)]
 
     def energy_host(theta) -> float:
         psi = _make_hf()
@@ -3376,8 +3780,11 @@ def build_streaming_energy_xl_fn(gseq, gham, hf_init: int,
         for s in fwd:
             psi = rot(psi, theta, *s, fm)
         acc = jnp.float32(0.0)
-        for st_, cb, s in hsegs:
-            acc = acc + _expb4_seg(st_, cb, psi, *s)
+        for kind, st_, cb, s in hsegs:
+            if kind == "hoist":
+                acc = acc + _exph4_seg(st_, cb, psi, *s)
+            else:
+                acc = acc + _expb4_seg(st_, cb, psi, *s)
         return float(acc)
 
     return energy_host

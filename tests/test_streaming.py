@@ -577,9 +577,67 @@ def test_energy_xl_parity(monkeypatch):
                       compile_pauli_sum(ham, n))))
     e_ref = float(gr.grouped_expectation(psi, *hargs))
 
-    for fuse_env in ("1", "0"):
+    for fuse_env, hoist_env in (("1", "0"), ("0", "0"), ("1", "1")):
         monkeypatch.setenv("OVQE_STREAM_FUSE", fuse_env)
+        monkeypatch.setenv("OVQE_EXP_HOIST", hoist_env)
         energy = st.build_streaming_energy_xl_fn(gseq, gham, hf,
                                                  interpret=True)
         e_xl = energy(theta)
-        assert abs(e_xl - e_ref) < 1e-5, (fuse_env, e_xl, e_ref)
+        assert abs(e_xl - e_ref) < 1e-5, (fuse_env, hoist_env, e_xl, e_ref)
+
+
+def test_hoisted_expectation_parity():
+    """HOISTED bucketed expectation (one sublane perm per distinct x_mid,
+    one lane perm per distinct x_lane, lane sign folded into the
+    coefficients) == the plain bucketed kernel, for real and complex
+    coefficient sets and with tiny unique-mask caps forcing bucket
+    splits."""
+    rng = np.random.default_rng(21)
+    G, K = 12, 8
+    x, z, coef = _random_groups(rng, G, K, N)
+    # force in-tile mask SHARING across groups (the hoist win) plus the
+    # stage-class corners: identical xm with differing xl and vice versa
+    x[3] = (int(x[2]) & ~((1 << st.TILE_BITS) - 1)) | (9 << 7) | 5
+    x[4] = (int(x[3]) & ~0x7F) | 11
+    x[5] = (int(x[3]) & 0x7F) | (int(x[3]) & (0x7F << 7))
+    x[6] = 9 << 7                              # sublane-only ("m" class)
+    x[7] = 11                                  # lane-only ("l" class)
+    parity = np.zeros_like(z)
+    for g in range(G):
+        parity[g] = [bin(int(x[g]) & int(zk)).count("1") & 1 for zk in z[g]]
+    psi = _random_state(rng, N)
+    psi4 = psi.reshape(2, (1 << N) >> st.TILE_BITS, 128, 128)
+
+    from openvqe_tpu.sim.grouped import GroupedPauliSum
+    for tag, cre, cim in (
+            ("real", coef.astype(np.float32), np.zeros_like(coef)),
+            ("cplx", np.where(parity == 0, coef, 0.0).astype(np.float32),
+             np.where(parity == 1, coef, 0.0).astype(np.float32))):
+        gham = GroupedPauliSum(
+            n=N, z_diag=np.zeros(0, np.int32),
+            a_diag_re=np.zeros(0, np.float32),
+            a_diag_im=np.zeros(0, np.float32), x=x, z=z, a_re=cre,
+            a_im=cim, c_re=0.0, c_im=0.0, n_terms=G * K,
+            hermitian=(tag == "cplx"))
+        classes = st.build_ham_buckets_split(gham, gcap=4, small=8,
+                                             stage_split=True)
+        # the hoisted kernel always applies the Hermitian doubling, so
+        # the consistent reference is the herm=True plain kernel (exact
+        # for Hermitian-structured sets; same convention on random ones)
+        ref = sum(float(st.expectation_bucketed(
+            psi, *b, interpret=True, chunk_bits=cb, stages=st_,
+            herm=True)) for st_, cb, b in classes)
+        for caps in (8, 2):
+            tot = 0.0
+            for st_, cb, b in classes:
+                if not st_:
+                    tot += float(st.expectation_bucketed(
+                        psi, *b, interpret=True, chunk_bits=cb,
+                        stages=st_, herm=True))
+                    continue
+                hargs = st.hoist_bucket_args(b, um_cap=caps, ul_cap=caps)
+                tot += float(st.expectation_hoisted4(
+                    psi4, hargs, interpret=True, chunk_bits=cb,
+                    stages=st_))
+            np.testing.assert_allclose(tot, ref, rtol=0, atol=2e-4,
+                                       err_msg=f"{tag} caps={caps}")
