@@ -317,6 +317,22 @@ def test_bucketed_ham_parity(data):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=0, atol=1e-5)
 
+    # real certificate (cim == 0 auto-detected from the host arrays):
+    # the kernel variant without the imaginary weight field must match
+    # the general kernel run on the same real-only set
+    gham_r = GroupedPauliSum(
+        n=N, z_diag=np.zeros(0, np.int32), a_diag_re=np.zeros(0, np.float32),
+        a_diag_im=np.zeros(0, np.float32), x=x, z=z, a_re=coef,
+        a_im=np.zeros_like(cim), c_re=0.0, c_im=0.0,
+        n_terms=x.size * z.shape[1], hermitian=False)
+    bargs_r = st.build_ham_buckets(gham_r, gcap=2)
+    out_r = st.ham_apply_bucketed(psi, np.zeros_like(psi), *bargs_r,
+                                  interpret=True)          # real=True path
+    out_g = st.ham_apply_bucketed(psi, np.zeros_like(psi), *bargs_r,
+                                  interpret=True, real=False)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_g),
+                               rtol=0, atol=1e-6)
+
 
 def test_adjoint_parity(data):
     x, z, coef, op, theta, psi = data
