@@ -15,6 +15,8 @@ runs a full 30-qubit UCCSD ansatz energy on the single bench chip:
   * then one random-theta ansatz energy, timed.
 
 Usage: python benchmarks/bench_30q_single.py [n_atoms]   (default 15)
+       python benchmarks/bench_30q_single.py CO2          (any 15-orbital
+       molecule from the reference geometry table, e.g. CO2 — 30 qubits)
 """
 
 import json
@@ -37,10 +39,13 @@ def _force(x):
 
 
 def main():
-    n_atoms = int(sys.argv[1]) if len(sys.argv) > 1 else 15
+    arg = sys.argv[1] if len(sys.argv) > 1 else "15"
+    mol_name = None if arg.isdigit() else arg
+    n_atoms = int(arg) if arg.isdigit() else 0
     charge = n_atoms % 2
+    label = mol_name if mol_name else f"H{n_atoms}{'+' if charge else ''}"
     t0 = time.time()
-    cache = f"/tmp/ovqe_30q_setup_H{n_atoms}.pkl"
+    cache = f"/tmp/ovqe_30q_setup_{label.replace('+', 'p')}.pkl"
     import os
     import pickle
     if os.path.exists(cache):
@@ -54,9 +59,15 @@ def main():
         from openvqe_tpu.sim.compile import (compile_op_sequence,
                                              compile_pauli_sum)
 
-        md = compute_molecule(
-            [("H", (0, 0, 1.0 * k)) for k in range(n_atoms)], "sto-3g",
-            charge=charge, spin=0, run_fci_flag=False)
+        if mol_name:
+            from openvqe_tpu.models.molecules import get_molecule
+            spec = get_molecule(mol_name)
+            md = compute_molecule(spec.geometry, spec.basis, spec.spin,
+                                  spec.charge, run_fci_flag=False)
+        else:
+            md = compute_molecule(
+                [("H", (0, 0, 1.0 * k)) for k in range(n_atoms)], "sto-3g",
+                charge=charge, spin=0, run_fci_flag=False)
         hpq, hpqrs = convert_to_h_integrals(md.one_body_integrals,
                                             md.two_body_integrals)
         esh = ElectronicStructureHamiltonian(hpq, hpqrs,
@@ -72,7 +83,7 @@ def main():
         e_hf = float(md.info["HF"])
         with open(cache, "wb") as f:
             pickle.dump((gseq, gham, e_hf, hf_init, theta0, n), f)
-    print(json.dumps({"system": f"H{n_atoms}{'+' if charge else ''}",
+    print(json.dumps({"system": label,
                       "qubits": n, "ops": gseq.n_ops,
                       "rot_groups": gseq.n_groups,
                       "h_groups": gham.n_groups, "fmode": gseq.fmode,
@@ -100,7 +111,7 @@ def main():
     t2 = time.time()
     e1 = energy(th)
     dt = time.time() - t2
-    print(json.dumps({"system": f"H{n_atoms}+", "qubits": n,
+    print(json.dumps({"system": label, "qubits": n,
                       "ansatz_energy": e1,
                       "s_per_energy": round(dt, 2),
                       "state_gb": round(2 * (1 << n) * 4 / 2**30, 2),
