@@ -7,6 +7,8 @@ iteration through a rebuilt myQLM circuit (get_energy_ucc.py:158-175).
 
 Usage:
     python benchmarks/bench_large_vqe.py [n_atoms ...]   (default: 8 10)
+    python benchmarks/bench_large_vqe.py CO2 --taper     (reference-table
+    molecules by name; CO2 = full 30-qubit space, 28q tapered)
 
 Prints one JSON line per system:
     {"system": "H8", "qubits": 16, "h_terms": ..., "h_groups": ...,
@@ -20,7 +22,7 @@ import sys
 import time
 
 
-def bench_chain(n_atoms: int, spacing: float = 1.0, repeats: int = 3,
+def bench_chain(n_atoms, spacing: float = 1.0, repeats: int = 3,
                 charge: int = 0, taper: bool = False):
     """Hydrogen chain H_{n_atoms} (charge +1 for odd chains keeps the RHF
     reference closed-shell — e.g. H13+ is the 26-qubit row).  ``taper``
@@ -41,9 +43,17 @@ def bench_chain(n_atoms: int, spacing: float = 1.0, repeats: int = 3,
     from openvqe_tpu.sim.objective import VQEObjective
 
     t_setup = time.time()
-    md = compute_molecule(
-        [("H", (0, 0, spacing * k)) for k in range(n_atoms)], "sto-3g",
-        charge=charge, run_fci_flag=False)
+    if isinstance(n_atoms, str):
+        from openvqe_tpu.models.molecules import get_molecule
+        spec = get_molecule(n_atoms)
+        md = compute_molecule(spec.geometry, spec.basis, spec.spin,
+                              spec.charge, run_fci_flag=False)
+        label = n_atoms
+    else:
+        md = compute_molecule(
+            [("H", (0, 0, spacing * k)) for k in range(n_atoms)], "sto-3g",
+            charge=charge, run_fci_flag=False)
+        label = f"H{n_atoms}" + ("+" if charge == 1 else "")
     hpq, hpqrs = convert_to_h_integrals(md.one_body_integrals,
                                         md.two_body_integrals)
     hsp = ElectronicStructureHamiltonian(
@@ -76,8 +86,7 @@ def bench_chain(n_atoms: int, spacing: float = 1.0, repeats: int = 3,
         times.append(time.time() - t0)
 
     return {
-        "system": f"H{n_atoms}" + ("+" if charge == 1 else "")
-                  + (f" tapered {n_orig}->{n}q" if taper else ""),
+        "system": label + (f" tapered {n_orig}->{n}q" if taper else ""),
         "qubits": n,
         "h_terms": obj.ham.n_terms,
         "h_groups": obj.gham.n_groups,
@@ -99,8 +108,13 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     taper = "--taper" in sys.argv
-    sizes = [int(a) for a in sys.argv[1:] if not a.startswith("--")] or [8, 10]
+    sizes = [int(a) if a.isdigit() else a
+             for a in sys.argv[1:] if not a.startswith("--")] or [8, 10]
     for n_atoms in sizes:
+        if isinstance(n_atoms, str):
+            print(json.dumps(bench_chain(n_atoms, repeats=1, taper=taper)),
+                  flush=True)
+            continue
         charge = n_atoms % 2          # odd chains run as closed-shell cations
         repeats = 3 if n_atoms <= 12 else 1
         print(json.dumps(bench_chain(n_atoms, charge=charge,
