@@ -61,3 +61,21 @@ def test_absolute_energies_match_pyscf_oracle(name):
     for key, ref in golden.items():
         assert got[key] == pytest.approx(ref, abs=tol), \
             f"{name} {key}: got {got[key]!r}, oracle {ref!r}"
+
+
+def test_co2_30q_pipeline_regression():
+    """CO2/STO-3G (reference molecule_factory.py table) — the 30-qubit
+    triatomic the large-system benchmarks run on one chip.  Pins the
+    in-house RHF/MP2 values as a regression guard (no external oracle in
+    this environment; the stack itself is oracle-validated above) and the
+    variational ordering MP2 < HF."""
+    from openvqe_tpu.models.molecules import get_molecule
+
+    spec = get_molecule("CO2")
+    md = compute_molecule(spec.geometry, spec.basis, spec.spin,
+                          spec.charge, run_fci_flag=False)
+    assert md.one_body_integrals.shape[0] == 15          # 30 spin orbitals
+    assert md.n_elec == 22
+    assert md.info["HF"] == pytest.approx(-185.06312979, abs=1e-6)
+    assert md.info["MP2"] == pytest.approx(-185.28435662, abs=1e-6)
+    assert md.info["MP2"] < md.info["HF"]
