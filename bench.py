@@ -160,6 +160,24 @@ def main():
         rows.append({"metric": "H13+ tapered iteration",
                      "error": repr(e)[:200]})
 
+    # ---- 7. CO2: reference-table molecule at 30-qubit system size -------
+    try:
+        if budget_left() > 450:
+            from bench_large_vqe import bench_chain
+
+            r = bench_chain("CO2", repeats=1, taper=True)
+            rows.append({
+                "metric": "CO2/STO-3G (reference molecule table), "
+                          "30-qubit-system full VQE iteration tapered to "
+                          "28q (exact Z2 taper)",
+                "value": r["s_per_iteration"],
+                "h_terms": r["h_terms"], "ops": r["ops"],
+                "energy": r.get("energy"),
+            })
+    except Exception as e:                                  # noqa: BLE001
+        rows.append({"metric": "CO2 tapered iteration",
+                     "error": repr(e)[:200]})
+
     ok = rel_8 <= 2.0 * BASELINE_REL_ERR  # must match reference accuracy
     out = {
         "metric": "CS-ADAPT-VQE 8-qubit wall-clock per experiment"
