@@ -9,6 +9,8 @@ Usage:
     python benchmarks/bench_large_vqe.py [n_atoms ...]   (default: 8 10)
     python benchmarks/bench_large_vqe.py CO2 --taper     (reference-table
     molecules by name; CO2 = full 30-qubit space, 28q tapered)
+    python benchmarks/bench_large_vqe.py H2O/6-31g       (name/basis
+    override — e.g. the double-zeta H2O at 26 qubits)
 
 Prints one JSON line per system:
     {"system": "H8", "qubits": 16, "h_terms": ..., "h_groups": ...,
@@ -45,9 +47,10 @@ def bench_chain(n_atoms, spacing: float = 1.0, repeats: int = 3,
     t_setup = time.time()
     if isinstance(n_atoms, str):
         from openvqe_tpu.models.molecules import get_molecule
-        spec = get_molecule(n_atoms)
-        md = compute_molecule(spec.geometry, spec.basis, spec.spin,
-                              spec.charge, run_fci_flag=False)
+        name, _, basis = n_atoms.partition("/")
+        spec = get_molecule(name)
+        md = compute_molecule(spec.geometry, basis or spec.basis,
+                              spec.spin, spec.charge, run_fci_flag=False)
         label = n_atoms
     else:
         md = compute_molecule(
