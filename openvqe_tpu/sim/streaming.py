@@ -216,6 +216,67 @@ _STREAM_PROBE = _os.environ.get("OVQE_STREAM_PROBE", "").lower()
 if _STREAM_PROBE not in ("", "noperm", "nofield", "copyonly"):
     raise ValueError(f"OVQE_STREAM_PROBE must be empty|noperm|nofield|"
                      f"copyonly, got {_STREAM_PROBE}")
+if _STREAM_PROBE:
+    import warnings as _warnings
+
+    _warnings.warn(
+        f"OVQE_STREAM_PROBE={_STREAM_PROBE!r}: streaming kernels now return "
+        f"WRONG NUMERICS (timing-attribution probe for "
+        f"benchmarks/probe_streaming.py only) — unset it for any real run",
+        stacklevel=2)
+    print(f"*** OVQE_STREAM_PROBE={_STREAM_PROBE}: streaming-kernel numerics "
+          f"are INVALID (timing probe) ***", file=__import__("sys").stderr)
+
+
+def grouped_hermitian_operator(gham) -> bool:
+    """True iff the grouped Hamiltonian is Hermitian as an OPERATOR (what
+    the bucketed-expectation ``herm=True`` certificate needs) — distinct
+    from ``gham.hermitian``, which only records that every COMPILED
+    coefficient is real.  A compiled term c * perm_x * sign_z has adjoint
+    conj(c) * (-1)^popcount(x & z) * perm_x * sign_z, so it is Hermitian
+    iff c is real when popcount(x & z) is even and purely imaginary when
+    odd — exactly the image of a real-coefficient Pauli string (its Y
+    count IS popcount(x & z), and compilation folds in i^{#Y})."""
+    if float(getattr(gham, "c_im", 0.0)) != 0.0:
+        return False
+    if np.asarray(gham.a_diag_im).any():     # x = 0 -> even parity
+        return False
+    x = np.asarray(gham.x, np.int64)
+    if not len(x):
+        return True
+    z = np.asarray(gham.z, np.int64)
+    par = (_popcount_arr(x[:, None] & z) & 1).astype(bool)
+    a_re = np.asarray(gham.a_re)
+    a_im = np.asarray(gham.a_im)
+    return bool(np.all(np.where(par, a_re == 0.0, a_im == 0.0)))
+
+
+def _popcount_arr(v):
+    v = np.asarray(v, np.int64)
+    out = np.zeros_like(v)
+    while np.any(v):
+        out += v & 1
+        v >>= 1
+    return out
+
+
+def _exp_mm_limbs(default: int = 3) -> int:
+    """bf16-limb depth for the SCALAR-producing permutation matmuls
+    (expectation / pool-overlap screens; states always evolve through the
+    bitwise-x3 rotation/adjoint kernels).  3 = bitwise f32; 2 trades
+    ~2^-17 relative element error for 14% less wall time — measured 9e-10
+    absolute on a 24q molecular <H>, invisible in a summed scalar.
+    PUBLIC kernels default to bitwise (3) so parity-sensitive callers
+    never need env knowledge; the in-package energy-only builders opt
+    into 2 explicitly.  OVQE_EXP_MM=bf16x3|bf16x2 forces either globally."""
+    env = _os.environ.get("OVQE_EXP_MM", "")
+    if env == "bf16x3":
+        return 3
+    if env == "bf16x2":
+        return 2
+    if env:
+        raise ValueError(f"OVQE_EXP_MM must be bf16x3|bf16x2, got {env}")
+    return default
 
 
 def _split_limbs(x, limbs: int = 3):
@@ -1985,8 +2046,14 @@ def build_ham_buckets_split(gham, gcap: int = HAM_BUCKET_CAP,
     if not len(x):
         return []
     live = (np.abs(are) > 0) | (np.abs(aim) > 0)
-    rows = live.sum(axis=1)
-    sel_small = rows <= small
+    # classify by the HIGHEST live column index, not the live-row count:
+    # today's builders (group_pauli_sum / diag_stream_rows) front-pack live
+    # rows so the two agree, but a scattered-rows builder must land in the
+    # class whose K actually covers its columns
+    last_live = np.where(live.any(axis=1),
+                         live.shape[1] - 1 - np.argmax(live[:, ::-1], axis=1),
+                         -1)
+    sel_small = last_live < small
     out = []
     for selk, kc in ((sel_small, small), (~sel_small, z.shape[1])):
         if not selk.any():
@@ -2152,20 +2219,20 @@ def expectation_bucketed4(psi4, bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr,
     """Off-diagonal grouped <psi|H|psi> on the TILED (2, T, 128, 128)
     state view, one state read per x_huge bucket.  herm=True certifies
     every group Hermitian and halves the cross-chunk compute.  ``limbs``
-    sets the exact-bf16 splitting depth of the permutation operand: 3 =
-    bitwise f32; 2 (the default) trades ~2^-17 relative element error for
-    14% less wall time — measured 9e-10 absolute on a 24q molecular <H>,
-    invisible in a summed scalar.  This kernel only ever produces the
-    energy SCALAR (states evolve through the bitwise-x3 rotation/adjoint
-    kernels), so the cheap default is safe; OVQE_EXP_MM=bf16x3 restores
-    bitwise behavior.  ``real`` statically certifies all cim == 0 and
+    sets the exact-bf16 splitting depth of the permutation operand: 3
+    (the default — bitwise f32); 2 trades ~2^-17 relative element error
+    for 14% less wall time — measured 9e-10 absolute on a 24q molecular
+    <H>, invisible in a summed scalar.  The in-package energy-only
+    builders opt into limbs=2 (this kernel only ever produces the energy
+    SCALAR; states evolve through the bitwise-x3 rotation/adjoint
+    kernels); OVQE_EXP_MM=bf16x3|bf16x2 forces either globally.  ``real`` statically certifies all cim == 0 and
     skips the imaginary weight field (auto-detected from a host numpy
     bcim; pass explicitly when calling under jit)."""
     interpret = _resolve_interpret(interpret)
     if unroll is None:
         unroll = _os.environ.get("OVQE_HAM_UNROLL", "0") == "1"
     if limbs is None:
-        limbs = 3 if _os.environ.get("OVQE_EXP_MM", "") == "bf16x3" else 2
+        limbs = _exp_mm_limbs(3)
     if real is None:
         real = isinstance(bcim, np.ndarray) and not bcim.any()
     B, Gcap, K = bzc.shape[0], bzc.shape[1], bzc.shape[-1]
@@ -2407,7 +2474,7 @@ def expectation_hoisted4(psi4, hargs, interpret: Optional[bool] = None,
      uxm, uxl) = hargs
     interpret = _resolve_interpret(interpret)
     if limbs is None:
-        limbs = 3 if _os.environ.get("OVQE_EXP_MM", "") == "bf16x3" else 2
+        limbs = _exp_mm_limbs(3)
     if real is None:
         real = isinstance(bcim, np.ndarray) and not bcim.any()
     B, Gcap, K = bzc.shape[0], bzc.shape[1], bzc.shape[-1]
@@ -2936,12 +3003,13 @@ def pool_overlap_bucketed(sigma, psi, bxh, bmb, bnout, bxc, bxm, bxl, bact,
     states streamed ONCE per x_huge bucket.  Returns (B, Gcap, 2).
     ``stages`` statically certifies which in-tile permutation stages the
     groups need (caller class-sorts — overlaps are order-free);
-    ``limbs`` as expectation_bucketed4 (screen SCALARS only, never state
-    evolution, so the cheap bf16x2 default is safe); ``real`` statically
-    certifies all cim == 0 and skips the imaginary weight field."""
+    ``limbs`` as expectation_bucketed4 (bitwise x3 default; the
+    in-package screen builders opt into the cheap x2 — scalars only,
+    never state evolution); ``real`` statically certifies all cim == 0
+    and skips the imaginary weight field."""
     interpret = _resolve_interpret(interpret)
     if limbs is None:
-        limbs = 3 if _os.environ.get("OVQE_EXP_MM", "") == "bf16x3" else 2
+        limbs = _exp_mm_limbs(3)
     if real is None:
         real = isinstance(bcim, np.ndarray) and not bcim.any()
     B, Gcap, K = bzc.shape[0], bzc.shape[1], bzc.shape[-1]
@@ -3064,7 +3132,8 @@ def build_streaming_pool_gradient_fn(gpool, lham, seg: Optional[int] = None):
             rows = pool_overlap_bucketed(sig, psi, bxh, bmb, bnout, bxc,
                                          bxm, bxl, bact, bzr, bzc, bcre,
                                          bcim, stages=stages,
-                                         real=pool_real)
+                                         real=pool_real,
+                                         limbs=_exp_mm_limbs(2))
             return rows * liv[:, :, None]
 
         @jax.jit
@@ -3592,14 +3661,15 @@ def build_streaming_energy_fn(gham, seg: Optional[int] = None):
         return expectation_bucketed(psi, bxh, bmb, bnout, bxc, bxm, bxl,
                                     bact, bzr, bzc, bcre, bcim,
                                     chunk_bits=cb, herm=hermitian,
-                                    stages=stages, real=ham_real)
+                                    stages=stages, real=ham_real,
+                                    limbs=_exp_mm_limbs(2))
 
     @partial(jax.jit, static_argnums=(0, 1))
     def _exph_seg(stages, cb, psi, *s):
         psi4 = jnp.asarray(psi, jnp.float32).reshape(
             2, psi.shape[-1] >> TILE_BITS, SUB, LANE)
         return expectation_hoisted4(psi4, s, chunk_bits=cb, stages=stages,
-                                    real=ham_real)
+                                    real=ham_real, limbs=_exp_mm_limbs(2))
 
     def _expectation(psi):
         # energy-only: the bucketed EXPECTATION kernel reads the state
@@ -3688,6 +3758,15 @@ def build_streaming_energy_xl_fn(gseq, gham, hf_init: int,
     (parallel/sharded_stream.py)."""
     from functools import partial
 
+    # this path hard-certifies herm=True into its bucketed-expectation
+    # segments; a non-Hermitian grouped Hamiltonian would silently return
+    # a wrong energy, so refuse it up front (every molecular H — and any
+    # real-coefficient Pauli sum — qualifies)
+    if not grouped_hermitian_operator(gham):
+        raise ValueError("build_streaming_energy_xl_fn requires an "
+                         "operator-Hermitian grouped Hamiltonian (its "
+                         "expectation segments certify herm=True); use "
+                         "build_streaming_energy_fn")
     n = gham.n
     if seg is None:
         seg = stream_segment_groups(n)
@@ -3710,9 +3789,11 @@ def build_streaming_energy_xl_fn(gseq, gham, hf_init: int,
                                         interpret=interpret)
 
     # diagonal rows fold into the expectation buckets as x=0 groups, so
-    # their imaginary parts count toward the certificate too
+    # their imaginary parts — and the constant's — count toward the
+    # certificate too
     ham_real = not (np.asarray(gham.a_im).any()
-                    or np.asarray(gham.a_diag_im).any())
+                    or np.asarray(gham.a_diag_im).any()
+                    or float(getattr(gham, "c_im", 0.0)) != 0.0)
 
     @partial(jax.jit, static_argnums=(0, 1))
     def _expb4_seg(stages, cb, psi4, bxh, bmb, bnout, bxc, bxm, bxl, bact,
@@ -3721,12 +3802,14 @@ def build_streaming_energy_xl_fn(gseq, gham, hf_init: int,
                                      bact, bzr, bzc, bcre, bcim,
                                      chunk_bits=cb, herm=True,
                                      stages=stages, interpret=interpret,
-                                     real=ham_real)
+                                     real=ham_real,
+                                     limbs=_exp_mm_limbs(2))
 
     @partial(jax.jit, static_argnums=(0, 1))
     def _exph4_seg(stages, cb, psi4, *s):
         return expectation_hoisted4(psi4, s, chunk_bits=cb, stages=stages,
-                                    interpret=interpret, real=ham_real)
+                                    interpret=interpret, real=ham_real,
+                                    limbs=_exp_mm_limbs(2))
 
     hf_t, hf_r = divmod(int(hf_init), SUB * LANE)
     hf_s, hf_l = divmod(hf_r, LANE)

@@ -117,6 +117,28 @@ def test_lbfgs_plateau_stop():
     assert abs(float(f_pl) - float(f_ref)) < 1e-6
 
 
+def test_lbfgs_returns_best_seen():
+    """lbfgs_minimize must return the BEST-SEEN (params, value) pair, not
+    the last iterate: after a plateau stop the returned value must equal
+    fun(returned params) and can never exceed any evaluated iterate
+    (round-3 ADVICE: the last iterate could drift up to ~patience*ftol
+    above the best encountered minimum)."""
+    import jax.numpy as jnp
+    from openvqe_tpu.optim.minimize import lbfgs_minimize
+
+    def rosen(x):
+        return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2
+                       + (1.0 - x[:-1]) ** 2)
+
+    x0 = jnp.zeros(4)
+    for kwargs in ({}, {"patience": 3, "ftol": 1e-2},
+                   {"patience": 10, "ftol": 1e-9}, {"maxiter": 5}):
+        kwargs = {"maxiter": 400, **kwargs}
+        x, f, _ = lbfgs_minimize(rosen, x0, tol=0.0, **kwargs)
+        assert abs(float(rosen(x)) - float(f)) < 1e-12   # value IS f(x)
+        assert float(f) <= float(rosen(x0))
+
+
 def test_fused_cs_vqe_cpu_matches_scipy():
     """Fused HEA VQE (plateau L-BFGS) reaches the scipy-BFGS energy on the
     smallest contextual Hamiltonian."""

@@ -657,3 +657,80 @@ def test_hoisted_expectation_parity():
                     stages=st_))
             np.testing.assert_allclose(tot, ref, rtol=0, atol=2e-4,
                                        err_msg=f"{tag} caps={caps}")
+
+
+def test_grouped_hermitian_operator_certificate():
+    """grouped_hermitian_operator must accept every real-coefficient Pauli
+    sum (odd-Y strings compile to imaginary coefficients, so
+    gham.hermitian is False there) and reject operator-level
+    non-Hermitian sums; build_streaming_energy_xl_fn refuses the latter
+    (round-3 ADVICE: it hard-certifies herm=True)."""
+    from openvqe_tpu.ops.pauli import PauliSum
+    from openvqe_tpu.sim.compile import compile_op_sequence, compile_pauli_sum
+
+    n = N
+    herm = (PauliSum.from_term(n, 0.7, "XY" + "I" * (n - 2))     # odd Y
+            + PauliSum.from_term(n, -0.3, "Z" * n)
+            + PauliSum.identity(n, 0.11))
+    gh = gr.group_pauli_sum(compile_pauli_sum(herm, n))
+    assert not gh.hermitian                     # imaginary compiled coef
+    assert st.grouped_hermitian_operator(gh)    # but operator-Hermitian
+
+    nonherm = herm + PauliSum.from_term(n, 0.4j, "XX" + "I" * (n - 2))
+    gn = gr.group_pauli_sum(compile_pauli_sum(nonherm, n))
+    assert not st.grouped_hermitian_operator(gn)
+
+    gens = [PauliSum.from_term(n, 0.5, "Y" + "I" * (n - 1))]
+    gseq = gr.group_op_sequence(compile_op_sequence(gens, n))
+    with pytest.raises(ValueError, match="Hermitian"):
+        st.build_streaming_energy_xl_fn(gseq, gn, hf_init=0)
+
+
+def test_buckets_split_scattered_live_rows():
+    """build_ham_buckets_split classifies by the highest LIVE COLUMN, not
+    the live-row count: a group with few live rows scattered past the
+    small-K boundary must land in the big-K class (round-3 ADVICE: the
+    old count-based classing asserted on such builders)."""
+    from openvqe_tpu.sim.grouped import GroupedPauliSum
+
+    K = 16
+    x = np.asarray([3, 5], np.int32)
+    z = np.zeros((2, K), np.int32)
+    a_re = np.zeros((2, K), np.float32)
+    # group 0: 2 live rows, front-packed -> small class
+    z[0, :2] = [1, 2]
+    a_re[0, :2] = [0.4, -0.2]
+    # group 1: 2 live rows but one sits at column 12 (> small=8) ->
+    # must class as big-K despite the tiny live count
+    z[1, 0] = 4
+    z[1, 12] = 6
+    a_re[1, 0] = 0.3
+    a_re[1, 12] = 0.1
+    gham = GroupedPauliSum(
+        n=N, z_diag=np.zeros(0, np.int32),
+        a_diag_re=np.zeros(0, np.float32),
+        a_diag_im=np.zeros(0, np.float32), x=x, z=z, a_re=a_re,
+        a_im=np.zeros_like(a_re), c_re=0.0, c_im=0.0, n_terms=4,
+        hermitian=True)
+    classes = st.build_ham_buckets_split(gham, small=8)
+    ks = sorted(b[7].shape[-2] for _, _, b in classes)   # bzr (B,gcap,K,1)
+    assert ks == [8, K], ks
+
+    # numerics: class sum == direct grouped expectation
+    rng = np.random.default_rng(3)
+    psi = _random_state(rng, N)
+    tot = sum(float(st.expectation_bucketed(
+        psi, *b, interpret=True, chunk_bits=cb, stages=st_, herm=True))
+        for st_, cb, b in classes)
+    pj = jnp.asarray(psi)
+    ref = 0.0
+    for g in range(2):
+        px = gr.xor_perm(pj, int(x[g]))
+        w = np.zeros(1 << N, np.float32)
+        idx = np.arange(1 << N)
+        for k in range(K):
+            if a_re[g, k]:
+                w += a_re[g, k] * (1.0 - 2.0 * (
+                    np.bitwise_count(idx & int(z[g, k])) % 2))
+        ref += float(np.sum(np.asarray(pj) * (w[None, :] * np.asarray(px))))
+    np.testing.assert_allclose(tot, ref, rtol=0, atol=5e-5)
