@@ -621,19 +621,119 @@ class ShardedStreamBound:
 
 # --------------------------------------------------------- pool screening
 
+def _pool_screen_parts(gpool, d: int, L: int):
+    """Host lowering of the sharded streaming pool screen: partition the
+    pool groups by x_dev (order-free), then stage-class + x_huge-bucket
+    each partition for the bucketed two-state overlap kernel (the same
+    lowering as the single-chip build_streaming_pool_gradient_fn, plus the
+    per-slot device-part z rows the coordinate sign needs).
+
+    Returns ``(pool_real, parts)``: pool_real certifies every compiled
+    coefficient real (UCCSD/GSD pools are — the coordinate sign only flips
+    signs, so the certificate survives sharding and the kernel drops its
+    imaginary weight field); parts is a list of
+    (x_dev, stages, [segment tuples]) with each segment =
+    (bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr, bzc, bcre, bcim, bzdev,
+    ops, live)."""
+    lo = (1 << L) - 1
+    xd = (np.asarray(gpool.x, np.int64) >> L).astype(np.int64)
+    seg = max(8, st.stream_segment_groups(L) // 2)
+    pool_real = not np.asarray(gpool.a_im).any()
+    parts = []
+    for v in sorted(set(xd.tolist())):
+        sel = np.where(xd == v)[0]
+        x_loc = (np.asarray(gpool.x, np.int64)[sel] & lo)
+        z_loc = (np.asarray(gpool.z, np.int64)[sel] & lo)
+        z_dev = (np.asarray(gpool.z, np.int64)[sel] >> L).astype(np.int32)
+        ops_part = np.asarray(gpool.op)[sel].astype(np.int64)
+        sd = st.build_stream_data(L, x_loc, z_loc, gpool.a_re[sel],
+                                  coef_im=gpool.a_im[sel],
+                                  chunk_bits=st.FUSED_CHUNK_BITS)
+        Kp = sd.z_r.shape[1]
+        zd_full = np.zeros((len(sel), Kp), np.int32)
+        zd_full[:, : z_dev.shape[1]] = z_dev
+        xm_nz = sd.x_mid != 0
+        xl_nz = sd.x_lane != 0
+        classes = [("", ~xm_nz & ~xl_nz), ("l", ~xm_nz & xl_nz),
+                   ("m", xm_nz & ~xl_nz), ("lm", xm_nz & xl_nz)]
+        for stages, selc in classes:
+            idx = np.where(selc)[0]
+            if not len(idx):
+                continue
+            bargs = st.build_pool_buckets(st._sd_select(sd, idx))
+            if bargs is None:
+                continue
+            slot_group = bargs[-1]                       # (B, gcap)
+            alive = slot_group >= 0
+            safe = np.clip(slot_group, 0, None)
+            op_of_slot = np.where(alive, ops_part[idx][safe], 0)
+            live = alive.astype(np.float32)
+            bzdev = np.where(alive[:, :, None],
+                             zd_full[idx][safe], 0)[:, :, :, None]
+            segs = st._bucket_segments(
+                bargs[:-1] + (bzdev, op_of_slot, live), seg)
+            if segs:
+                parts.append((int(v), stages, segs))
+    return pool_real, parts
+
+
 def build_sharded_stream_pool_gradient_fn(pool_ops: Sequence[PauliSum],
                                           obj: ShardedStreamObjective):
     """Streaming ADAPT pool screen over the mesh: v_i = <H psi|A_i|psi>.
     Pool groups partition by x_dev (order-free); each partition exchanges
-    psi once and rides pool_overlap_stream with the exchanged copy as the
-    permuted-side operand; per-group (re, im) rows psum'd and segment-summed
-    into operators on the host."""
+    psi once per x_huge bucket class and rides ``pool_overlap_bucketed``
+    (stage-class certified, real-coefficient certified — the same fused
+    screen the single chip runs) with the exchanged copy as the
+    permuted-side operand; per-slot (re, im) rows psum'd and
+    segment-summed into operators on the host."""
     gpool = gr.group_pool(compile_pool(pool_ops, obj.n))
     d, L = obj.d, obj.L
     n_dev = 1 << d
     lo = (1 << L) - 1
     interpret = obj._interpret
     impl = obj.impl
+    n_ops = gpool.n_ops
+
+    if impl == "stream":
+        pool_real, parts = _pool_screen_parts(gpool, d, L)
+
+        def make_bucket_fn(x_dev, stages, s):
+            (bxh, bmb, bnout, bxc, bxm, bxl, bact, bzr, bzc, bcre, bcim,
+             bzdev, ops, liv) = s
+
+            def l_part(sig_loc, psi_loc):
+                phi = (jax.lax.ppermute(psi_loc, AXIS, _perm(x_dev, n_dev))
+                       if x_dev else psi_loc)
+                sc = _coord_sign_factor(jnp.asarray(bzdev), psi_loc.dtype)
+                rows = st.pool_overlap_bucketed(
+                    sig_loc, phi, jnp.asarray(bxh), jnp.asarray(bmb),
+                    jnp.asarray(bnout), jnp.asarray(bxc), jnp.asarray(bxm),
+                    jnp.asarray(bxl), jnp.asarray(bact), jnp.asarray(bzr),
+                    jnp.asarray(bzc), jnp.asarray(bcre) * sc,
+                    jnp.asarray(bcim) * sc, stages=stages, real=pool_real,
+                    limbs=st._exp_mm_limbs(2), interpret=interpret)
+                rows = rows * jnp.asarray(liv)[:, :, None]
+                return jax.lax.psum(rows, AXIS)
+
+            return obj._sm(l_part, (SPEC, SPEC), P()), np.asarray(ops)
+
+        fns = [make_bucket_fn(v, stg, s)
+               for v, stg, segs in parts for s in segs]
+
+        def grads_host(psi) -> np.ndarray:
+            sigma = obj.ham_apply(psi)
+            vre = np.zeros(n_ops)
+            vim = np.zeros(n_ops)
+            for fn, ops in fns:
+                rows = np.asarray(fn(sigma, psi), np.float64)
+                np.add.at(vre, ops.reshape(-1), rows[:, :, 0].reshape(-1))
+                np.add.at(vim, ops.reshape(-1), rows[:, :, 1].reshape(-1))
+            return vre + 1j * vim
+
+        return grads_host
+
+    # ---- impl="xla": identical partition/exchange/sign composition,
+    # grouped scan inner engine (CPU tests / dry runs)
     xd = (np.asarray(gpool.x, np.int64) >> L).astype(np.int64)
     seg = max(8, st.stream_segment_groups(L) // 2)
     parts = []
@@ -642,55 +742,37 @@ def build_sharded_stream_pool_gradient_fn(pool_ops: Sequence[PauliSum],
         x_loc = (np.asarray(gpool.x, np.int64)[sel] & lo)
         z_loc = (np.asarray(gpool.z, np.int64)[sel] & lo)
         z_dev = (np.asarray(gpool.z, np.int64)[sel] >> L).astype(np.int32)
-        sd = st.build_stream_data(L, x_loc, z_loc, gpool.a_re[sel],
-                                  coef_im=gpool.a_im[sel])
-        Kp = sd.z_r.shape[1]
-        zd = np.zeros((len(sel), Kp), np.int32)
-        zd[:, : z_dev.shape[1]] = z_dev
-        hargs = (sd.x_huge, sd.mb, sd.n_outer, sd.x_chunk, sd.x_mid,
-                 sd.x_lane, sd.z_r, sd.z_c, sd.cre, sd.cim, zd[:, :, None],
-                 gpool.op[sel].astype(np.int32), x_loc, z_loc,
-                 gpool.a_re[sel], gpool.a_im[sel])
+        hargs = (z_dev[:, :, None], gpool.op[sel].astype(np.int32),
+                 x_loc, z_loc, gpool.a_re[sel], gpool.a_im[sel])
         parts.append((int(v), st._segments(hargs, seg)))
 
-    n_ops = gpool.n_ops
-
     def make_part_fn(x_dev, s):
-        (xh, mb, nout, xc, xm, xl, zr, zc, cre, cim, zd, ops, xg, zg, ar,
-         ai) = s
+        zd, ops, xg, zg, ar, ai = s
 
         def l_part(sig_loc, psi_loc):
             phi = (jax.lax.ppermute(psi_loc, AXIS, _perm(x_dev, n_dev))
                    if x_dev else psi_loc)
             sc = _coord_sign_factor(jnp.asarray(zd), psi_loc.dtype)
-            if impl == "stream":
-                rows = st.pool_overlap_stream(
-                    sig_loc, phi, jnp.asarray(xh), jnp.asarray(mb),
-                    jnp.asarray(nout), jnp.asarray(xc), jnp.asarray(xm),
-                    jnp.asarray(xl), jnp.asarray(zr), jnp.asarray(zc),
-                    jnp.asarray(cre) * sc, jnp.asarray(cim) * sc,
-                    interpret=interpret)
-            else:
-                R, lanes = gr._lane_split(L)
-                scg = sc[:, :np.asarray(zg).shape[1], 0]
+            R, lanes = gr._lane_split(L)
+            scg = sc[:, :np.asarray(zg).shape[1], 0]
 
-                def step(_, g):
-                    xk, zk, a_r, a_i = g
-                    px = gr.xor_perm(phi, xk)
-                    Pm = (sig_loc[0] * px[0]
-                          + sig_loc[1] * px[1]).reshape(R, lanes)
-                    Qm = (sig_loc[0] * px[1]
-                          - sig_loc[1] * px[0]).reshape(R, lanes)
-                    re = (jnp.sum(a_r * gr._group_bilinear(Pm, zk, L))
-                          - jnp.sum(a_i * gr._group_bilinear(Qm, zk, L)))
-                    im = (jnp.sum(a_r * gr._group_bilinear(Qm, zk, L))
-                          + jnp.sum(a_i * gr._group_bilinear(Pm, zk, L)))
-                    return None, jnp.stack([re, im])
+            def step(_, g):
+                xk, zk, a_r, a_i = g
+                px = gr.xor_perm(phi, xk)
+                Pm = (sig_loc[0] * px[0]
+                      + sig_loc[1] * px[1]).reshape(R, lanes)
+                Qm = (sig_loc[0] * px[1]
+                      - sig_loc[1] * px[0]).reshape(R, lanes)
+                re = (jnp.sum(a_r * gr._group_bilinear(Pm, zk, L))
+                      - jnp.sum(a_i * gr._group_bilinear(Qm, zk, L)))
+                im = (jnp.sum(a_r * gr._group_bilinear(Qm, zk, L))
+                      + jnp.sum(a_i * gr._group_bilinear(Pm, zk, L)))
+                return None, jnp.stack([re, im])
 
-                _, rows = jax.lax.scan(
-                    step, None,
-                    (jnp.asarray(xg), jnp.asarray(zg),
-                     jnp.asarray(ar) * scg, jnp.asarray(ai) * scg))
+            _, rows = jax.lax.scan(
+                step, None,
+                (jnp.asarray(xg), jnp.asarray(zg),
+                 jnp.asarray(ar) * scg, jnp.asarray(ai) * scg))
             return jax.lax.psum(rows, AXIS)
 
         return obj._sm(l_part, (SPEC, SPEC), P()), ops
