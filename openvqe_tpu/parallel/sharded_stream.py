@@ -307,6 +307,10 @@ class ShardedStreamObjective:
                            else False)
         self._build_ham_programs()
         self._psi0_cache: Dict[int, jax.Array] = {}
+        # f32 kernels on both impls: the ADAPT loops key their streaming
+        # policies (L-BFGS-B swap against the f32 noise floor) off this
+        # flag, same as the single-chip VQEObjective streaming path.
+        self._streaming = True
 
     # ---- shard_map program builders -----------------------------------
 
