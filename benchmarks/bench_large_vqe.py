@@ -25,7 +25,8 @@ import time
 
 
 def bench_chain(n_atoms, spacing: float = 1.0, repeats: int = 3,
-                charge: int = 0, taper: bool = False):
+                charge: int = 0, taper: bool = False,
+                opt_maxiter: int = 0):
     """Hydrogen chain H_{n_atoms} (charge +1 for odd chains keeps the RHF
     reference closed-shell — e.g. H13+ is the 26-qubit row).  ``taper``
     removes the ansatz-compatible Z2 symmetries (alpha/beta parity: 2
@@ -88,7 +89,7 @@ def bench_chain(n_atoms, spacing: float = 1.0, repeats: int = 3,
         e, g = bound.energy_and_grad(theta + 1e-4 * (r + 1))
         times.append(time.time() - t0)
 
-    return {
+    row = {
         "system": label + (f" tapered {n_orig}->{n}q" if taper else ""),
         "qubits": n,
         "h_terms": obj.ham.n_terms,
@@ -102,6 +103,27 @@ def bench_chain(n_atoms, spacing: float = 1.0, repeats: int = 3,
         "energy": float(e),
         "grad_norm": float(np.linalg.norm(g)),
     }
+    if opt_maxiter:
+        # full VQE: L-BFGS over the measured iteration primitive, so the
+        # final energy lands at-or-below MP2 (round-3 VERDICT item 4's
+        # acceptance bar for the reference-table molecules)
+        from scipy.optimize import minimize
+
+        t_opt = time.time()
+        res = minimize(
+            lambda t: tuple(np.asarray(v, dtype=np.float64)
+                            for v in bound.energy_and_grad(t)),
+            theta, jac=True, method="L-BFGS-B",
+            options={"maxiter": opt_maxiter})
+        row.update({
+            "opt_s": round(time.time() - t_opt, 2),
+            "opt_nit": int(res.nit),
+            "energy_opt": float(res.fun),
+            "HF": float(md.info["HF"]),
+            "MP2": float(md.info["MP2"]),
+            "below_MP2": bool(res.fun <= md.info["MP2"] + 1e-9),
+        })
+    return row
 
 
 def main():
@@ -111,17 +133,27 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     taper = "--taper" in sys.argv
+    opt_maxiter = 0
+    argv = sys.argv[1:]
+    if "--opt" in argv:
+        k = argv.index("--opt")
+        if k + 1 < len(argv) and argv[k + 1].isdigit():
+            opt_maxiter = int(argv.pop(k + 1))
+        else:
+            opt_maxiter = 200
     sizes = [int(a) if a.isdigit() else a
-             for a in sys.argv[1:] if not a.startswith("--")] or [8, 10]
+             for a in argv if not a.startswith("--")] or [8, 10]
     for n_atoms in sizes:
         if isinstance(n_atoms, str):
-            print(json.dumps(bench_chain(n_atoms, repeats=1, taper=taper)),
+            print(json.dumps(bench_chain(n_atoms, repeats=1, taper=taper,
+                                         opt_maxiter=opt_maxiter)),
                   flush=True)
             continue
         charge = n_atoms % 2          # odd chains run as closed-shell cations
         repeats = 3 if n_atoms <= 12 else 1
         print(json.dumps(bench_chain(n_atoms, charge=charge,
-                                     repeats=repeats, taper=taper)),
+                                     repeats=repeats, taper=taper,
+                                     opt_maxiter=opt_maxiter)),
               flush=True)
 
 

@@ -11,14 +11,20 @@ tangelo / symmer:
   subspace projection (ops/contextual) per qubit count.
 
 Parity notes (documented in PARITY.md): the reference ran pyscf RHF with
-SPHERICAL d functions and published molecular STO-3G scale factors; this
-stack uses CARTESIAN d shells (one extra s-contaminant function per d
-shell — a strictly larger variational space) and best-atom zetas for
-Fe/Si (chem/basis.py provenance), and ops/contextual uses the
+SPHERICAL d functions and published molecular STO-3G scale factors.
+Round 4 closes the two largest convention gaps: d shells are projected
+onto the five pure spherical harmonics (chem/basis.cart2sph_matrix,
+``spherical=True`` default — 116 cartesian -> 114 spherical functions)
+and Si uses the published molecular zetas (chem/basis._STO3G_ZETA).  The
+remaining conventions that differ: Fe zetas are best-atom fits (the
+published Pietro-Hehre transition-metal factors are unrecoverable
+offline; chem/basis.py provenance) and ops/contextual uses the
 stabilizer-projection strategy without symmer's LCU unitary
 partitioning.  The derived CS Hamiltonians are therefore the same
 construction but not bitwise the shipped ``cs_hams.json``; ``compare()``
-reports both spectra side by side.
+reports both spectra side by side, and
+benchmarks/li2fesio4_conventions.py measures each convention's
+contribution to the delta (pinned in tests/test_li2fesio4.py).
 
 Run:  python -m openvqe_tpu.apps.quantum_batteries.li2fesio4 [n_homo_lumo]
 """
@@ -68,13 +74,19 @@ def load_geometry(cif_path: str = _CIF) -> List[Tuple[str, Tuple[float, ...]]]:
 
 
 def build_active_hamiltonian(n_homo_lumo: int = 3, conv: float = 1e-5,
-                             verbose: bool = True):
+                             verbose: bool = True, spherical: bool = True):
     """RHF on the full unit cell, then the HOMO-n..LUMO+n active space
     (notebook cells 11-14: frozen_core + get_orbitals_excluding_homo_lumo
     compose to exactly this index-based freeze).  Returns
-    (ElectronicStructureHamiltonian, n_active_electrons, hf_info dict)."""
+    (ElectronicStructureHamiltonian, n_active_electrons, hf_info dict).
+
+    ``spherical=True`` (default; matches the reference's pyscf convention)
+    projects each Fe 3d shell onto the five pure spherical harmonics
+    before SCF (chem/basis.cart2sph_matrix) — 116 cartesian -> 114
+    spherical basis functions.  ``spherical=False`` keeps the cartesian
+    d shells (round-3 behavior) for convention-delta measurements."""
     from ... import native
-    from ...chem.basis import build_shells
+    from ...chem.basis import build_shells, cart2sph_matrix, to_spherical
     from ...chem.integrals import (electron_repulsion, nuclear_attraction,
                                    nuclear_repulsion, overlap_kinetic)
     from ...chem.scf import mo_integrals, rhf
@@ -86,7 +98,9 @@ def build_active_hamiltonian(n_homo_lumo: int = 3, conv: float = 1e-5,
     if verbose:
         from ...chem.basis import nbasis
         print(f"Li2FeSiO4 cell: {len(geometry)} atoms, {n_elec} electrons, "
-              f"{nbasis(shells)} cartesian basis functions", flush=True)
+              f"{nbasis(shells)} cartesian basis functions"
+              + (" -> spherical-d projection" if spherical else ""),
+              flush=True)
     if native.available():
         S, T, V = native.one_electron(shells, charges, coords)
         eri = native.eri(shells)
@@ -94,6 +108,9 @@ def build_active_hamiltonian(n_homo_lumo: int = 3, conv: float = 1e-5,
         S, T = overlap_kinetic(shells)
         V = nuclear_attraction(shells, charges, coords)
         eri = electron_repulsion(shells)
+    if spherical:
+        B = cart2sph_matrix(shells)
+        S, (T, V), eri = to_spherical(B, S, [T, V], eri)
     e_nuc = nuclear_repulsion(charges, coords)
     hf = rhf(S, T + V, eri, n_elec, e_nuc, max_iter=600, conv=conv)
     if verbose:
@@ -110,6 +127,7 @@ def build_active_hamiltonian(n_homo_lumo: int = 3, conv: float = 1e-5,
     n_active_elec = 2 * (n_homo_lumo + 1)
     info = {"E_HF": float(hf.energy), "converged": bool(hf.converged),
             "n_active_mos": len(active), "n_active_electrons": n_active_elec,
+            "spherical_d": bool(spherical),
             "mo_energies_active": [float(hf.mo_energy[i]) for i in active]}
     return ham, n_active_elec, info
 
@@ -117,12 +135,13 @@ def build_active_hamiltonian(n_homo_lumo: int = 3, conv: float = 1e-5,
 def derive_cs_hamiltonians(n_homo_lumo: int = 3,
                            qubit_targets: Sequence[int] = (2, 3, 4, 5, 6, 7,
                                                            8),
-                           verbose: bool = True):
+                           verbose: bool = True, spherical: bool = True):
     """The full native chain -> {n_qubits: PauliSum} + metadata."""
     from .derive_contextual_subspace import derive_native
 
     ham, n_active_elec, info = build_active_hamiltonian(n_homo_lumo,
-                                                        verbose=verbose)
+                                                        verbose=verbose,
+                                                        spherical=spherical)
     hsp = ham.to_spin("JW")
     n_q = hsp.nbqbits
     ref_bits = [1 if q < n_active_elec else 0 for q in range(n_q)]
@@ -134,7 +153,7 @@ def derive_cs_hamiltonians(n_homo_lumo: int = 3,
 
 
 def compare(n_homo_lumo: int = 3, qubit_targets=(2, 3, 4, 5, 6, 7, 8),
-            save_path: str | None = None):
+            save_path: str | None = None, spherical: bool = True):
     """Derived-vs-shipped ground energies per qubit count.  The shipped
     cs_hams.json came from the reference's pyscf/symmer chain; deltas
     reflect the documented basis-convention gaps (module docstring).
@@ -146,7 +165,8 @@ def compare(n_homo_lumo: int = 3, qubit_targets=(2, 3, 4, 5, 6, 7, 8),
 
     from .utils import load_cs_hams
 
-    hams, hsp, info = derive_cs_hamiltonians(n_homo_lumo, qubit_targets)
+    hams, hsp, info = derive_cs_hamiltonians(n_homo_lumo, qubit_targets,
+                                             spherical=spherical)
     shipped = load_cs_hams()
     rows = []
     for q in sorted(hams):

@@ -63,6 +63,13 @@ _STO3G_ZETA: Dict[str, Tuple[float, ...]] = {
     "O": (7.66, 2.25),
     "F": (8.65, 2.55),
     "Ne": (9.64, 2.88),
+    # Si: published molecular STO-3G factors (Hehre-Ditchfield-Stewart-
+    # Pople second-row tables).  Self-consistency pin: the three zetas
+    # reproduce the canonical table exponents through the universal rows
+    # above exactly — 0.4828540806 * 1.75^2 = 1.4787406..., the published
+    # Si 3sp leading exponent — the same identity that validates the S/Cl
+    # rows below (0.4828540806 * 2.05^2 = 2.0291942..., BSE S row).
+    "Si": (13.53, 4.83, 1.75),
     "S": (15.47, 5.79, 2.05),
     "Cl": (16.43, 6.26, 2.10),
 }
@@ -84,12 +91,19 @@ _STO3G_ZETA_BEST_ATOM: Dict[str, Dict[str, float]] = {
 }
 
 
-def _sto3g_shell_plan(symbol: str):
+def _sto3g_shell_plan(symbol: str, prefer_published: bool = True):
     """[(l, universal_exps, universal_coefs, zeta_slot)] for one element —
     the zeta-independent STO-3G structure.  zeta_slot indexes the zeta
-    vector handed to fit_sto3g.atomic_energy."""
+    vector handed to fit_sto3g.atomic_energy.
+
+    Published molecular scale factors (_STO3G_ZETA) take precedence over
+    the best-atom fits when both exist (Si); pass
+    ``prefer_published=False`` to force the best-atom structure (the
+    zeta-fit regression tests and convention-toggle measurements)."""
     symbol = symbol.capitalize()
-    if symbol in _STO3G_ZETA_BEST_ATOM:
+    if symbol in _STO3G_ZETA and prefer_published:
+        pass  # fall through to the published-table plan below
+    elif symbol in _STO3G_ZETA_BEST_ATOM:
         keys = list(_STO3G_ZETA_BEST_ATOM[symbol])
         plan = [(0, _STO3G_1S_EXP, _STO3G_1S_COEF, keys.index("1s")),
                 (0, _STO3G_2SP_EXP, _STO3G_2S_COEF, keys.index("2sp")),
@@ -262,10 +276,13 @@ def element_shells(symbol: str, basis: str) -> List[Tuple[int, np.ndarray, np.nd
     symbol = symbol.capitalize()
     basis = basis.lower().replace("_", "-")
     if basis == "sto-3g":
-        if symbol in _STO3G_ZETA_BEST_ATOM:
-            zv = list(_STO3G_ZETA_BEST_ATOM[symbol].values())
-        elif symbol in _STO3G_ZETA:
+        # published molecular scale factors first (they match the
+        # reference's pyscf/BSE chain); best-atom fits only where no
+        # published factors are recoverable (Fe)
+        if symbol in _STO3G_ZETA:
             zv = list(_STO3G_ZETA[symbol])
+        elif symbol in _STO3G_ZETA_BEST_ATOM:
+            zv = list(_STO3G_ZETA_BEST_ATOM[symbol].values())
         else:
             raise ValueError(f"no STO-3G data for {symbol}")
         return [(l, np.asarray(exps) * zv[slot] ** 2, np.asarray(coefs))
@@ -339,3 +356,73 @@ def build_shells_from_defs(geometry, defs: Dict[str, List[Tuple]],
 
 def nbasis(shells: List[Shell]) -> int:
     return sum(len(cartesian_components(sh.l)) for sh in shells)
+
+
+# Cartesian -> real-spherical (pure) d projection ---------------------------
+#
+# The reference's pyscf chain runs with SPHERICAL d functions (5 per d
+# shell); this stack computes integrals over CARTESIAN shells (6 per d
+# shell, the extra function being the s-contaminant xx+yy+zz).  Because
+# every cartesian component of one contracted shell shares the SAME radial
+# contraction (build order in _contracted_shell/cartesian_components), the
+# pure-d combinations transfer directly as monomial combinations of the
+# shell's component functions; the scales below make each spherical
+# function unit-normalized given this package's component normalization
+# (first component xx has unit norm, so <xy|xy> = 1/3 and <xx|yy> = 1/3
+# exactly — the Gaussian moment ratio is exponent-independent, hence exact
+# for contractions too; verified numerically via B^T S B in
+# tests/test_chem_dshell.py).
+#
+# Rows: cartesian order from cartesian_components(2) = xx, xy, xz, yy,
+# yz, zz.  Columns: real spherical harmonics in the standard m = -2..2
+# order (pyscf's): xy, yz, z^2, xz, x^2-y^2.
+_SQRT3 = float(np.sqrt(3.0))
+_CART2SPH_D = np.array([
+    #   xy      yz     z^2     xz     x^2-y^2
+    [0.0,     0.0,   -0.5,    0.0,   _SQRT3 / 2],   # xx
+    [_SQRT3,  0.0,    0.0,    0.0,   0.0],          # xy
+    [0.0,     0.0,    0.0,    _SQRT3, 0.0],         # xz
+    [0.0,     0.0,   -0.5,    0.0,  -_SQRT3 / 2],   # yy
+    [0.0,     _SQRT3, 0.0,    0.0,   0.0],          # yz
+    [0.0,     0.0,    1.0,    0.0,   0.0],          # zz
+])
+
+
+def cart2sph_matrix(shells: List[Shell]) -> np.ndarray:
+    """Block-diagonal (n_cartesian x n_spherical) basis transformation.
+
+    Identity blocks for s/p shells; the 6x5 pure-d projection for each d
+    shell.  Applying it to the cartesian integrals (S' = B^T S B, and all
+    four ERI axes) reproduces the integrals a spherical-harmonic code
+    (pyscf default, the reference's contextual_subspace.ipynb chain) would
+    compute, dropping the s-contaminant from every d shell."""
+    blocks = []
+    for sh in shells:
+        if sh.l < 2:
+            blocks.append(np.eye(len(cartesian_components(sh.l))))
+        elif sh.l == 2:
+            blocks.append(_CART2SPH_D)
+        else:
+            raise NotImplementedError(f"l={sh.l}")
+    ncart = sum(b.shape[0] for b in blocks)
+    nsph = sum(b.shape[1] for b in blocks)
+    B = np.zeros((ncart, nsph))
+    r = c = 0
+    for b in blocks:
+        B[r:r + b.shape[0], c:c + b.shape[1]] = b
+        r += b.shape[0]
+        c += b.shape[1]
+    return B
+
+
+def to_spherical(B: np.ndarray, S: np.ndarray, hmats: List[np.ndarray],
+                 eri: np.ndarray):
+    """Transform overlap, one-electron matrices, and the 4-index ERI from
+    the cartesian to the spherical basis.  Returns (S', [h'...], eri')."""
+    S2 = B.T @ S @ B
+    h2 = [B.T @ h @ B for h in hmats]
+    for _ in range(4):
+        # contract axis 0 with B and push the result to the last axis:
+        # four applications transform every index and restore the order
+        eri = np.tensordot(eri, B, axes=([0], [0]))
+    return S2, h2, eri

@@ -150,3 +150,48 @@ def test_si_fe_atomic_rohf():
 # zeta-optimization outputs (chem/fit_sto3g.py __main__; committed as data)
 SI_E_ATOM = -285.580052
 FE_E_ATOM = -1248.365804
+
+
+def test_cart2sph_projection():
+    """Pure-d projection (round-3 VERDICT item 3): B^T S B is exactly
+    unit-normalized (the 1/3 Gaussian moment ratios behind the analytic
+    scales in basis._CART2SPH_D are exponent-independent), the spherical
+    space drops exactly one function per d shell, and RHF in the
+    projected basis is variationally above the cartesian RHF while
+    staying converged — the convention the reference's pyscf chain used
+    (contextual_subspace.ipynb cells 11-14, pyscf spherical default)."""
+    from openvqe_tpu.chem.basis import (build_shells, cart2sph_matrix,
+                                        nbasis, to_spherical)
+    from openvqe_tpu.chem.scf import rhf
+
+    geom = [("Fe", (0.0, 0.0, 0.0)), ("O", (0.8, 0.5, 1.1))]
+    shells, charges, coords = build_shells(geom, "sto-3g")
+    S, T = overlap_kinetic(shells)
+    V = nuclear_attraction(shells, charges, coords)
+    eri = electron_repulsion(shells)
+    B = cart2sph_matrix(shells)
+    n_d_shells = sum(1 for sh in shells if sh.l == 2)
+    assert n_d_shells == 1
+    assert B.shape == (nbasis(shells), nbasis(shells) - n_d_shells)
+    S2, (T2, V2), eri2 = to_spherical(B, S, [T, V], eri)
+    np.testing.assert_allclose(np.diag(S2), 1.0, rtol=0, atol=1e-12)
+    # ERI transform: the tensordot chain must equal the direct 4-fold
+    # einsum contraction
+    np.testing.assert_allclose(
+        np.einsum("pqrs,pi,qj,rk,sl->ijkl", eri, B, B, B, B), eri2,
+        rtol=0, atol=1e-11)
+    hf_c = rhf(S, T + V, eri, 34, 0.0, max_iter=400, conv=1e-7)
+    hf_s = rhf(S2, T2 + V2, eri2, 34, 0.0, max_iter=400, conv=1e-7)
+    assert hf_c.converged and hf_s.converged
+    assert hf_s.energy >= hf_c.energy - 1e-9
+    assert hf_s.energy - hf_c.energy < 1.0
+
+
+def test_si_published_molecular_zetas():
+    """Si now carries the published molecular STO-3G factors
+    (basis._STO3G_ZETA["Si"]); the table identity 0.4828540806 * 1.75^2
+    = 1.4787406... pins the 3sp row against the canonical exponent, and
+    build_shells prefers the published factors over the best-atom fit."""
+    sh, _, _ = bas.build_shells([("Si", (0, 0, 0))], "sto-3g")
+    assert abs(sh[3].exps[0] - 1.4787406) < 1e-6     # 3s leading exponent
+    assert abs(sh[0].exps[0] - 2.227660584 * 13.53 ** 2) < 1e-9
