@@ -22,6 +22,7 @@ before the ≥20-qubit row ran):
   7. CO2 30q system tapered to 28q iteration
   8. impl="stream" sharded composition on a 1-device mesh (real chip)
   9. fermionic ADAPT outer iteration, 26q system tapered (screen/optimize)
+  10. N2 20q full UCCSD iteration (reference molecule table)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "rows": [...]}.
 A persistent compile cache (/tmp/ovqe_jax_cache) makes repeat runs cheap;
@@ -236,6 +237,25 @@ def main():
     except Exception as e:                                  # noqa: BLE001
         rows.append({"metric": "ADAPT 26q-system outer iteration",
                      "error": repr(e)[:200]})
+
+    # ---- 10. N2: reference-table diatomic at 20 qubits (round-3 VERDICT
+    #          item 4: reference-table molecules beyond CO2/C2H4 carry
+    #          measured iteration rows; N2 is the bench-rotated one) ------
+    try:
+        if budget_left() > 120:
+            from bench_large_vqe import bench_chain
+
+            r = bench_chain("N2", repeats=3)
+            rows.append({
+                "metric": "N2/STO-3G (reference molecule table) 20-qubit "
+                          "full UCCSD VQE iteration (energy + exact "
+                          "adjoint gradient)",
+                "value": r["s_per_iteration"],
+                "h_terms": r["h_terms"], "ops": r["ops"],
+                "energy": r.get("energy"),
+            })
+    except Exception as e:                                  # noqa: BLE001
+        rows.append({"metric": "N2 iteration", "error": repr(e)[:200]})
 
     ok = rel_8 <= 2.0 * BASELINE_REL_ERR  # must match reference accuracy
     out = {
