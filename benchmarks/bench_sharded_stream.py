@@ -24,9 +24,9 @@ import numpy as np
 
 def build_problem(n: int = 21, seed: int = 11, n_gens: int = 6,
                   n_ham: int = 8):
-    """Synthetic odd-Y generators (x1j convention -> real compiled pool,
-    exercising the real-certificate screen) + a Hamiltonian with diagonal
-    and off-diagonal groups."""
+    """Synthetic odd-Y generators (real coefficients, the Hermitian bind
+    convention; the POOL carries the x1j convention so the real-certificate
+    screen engages) + a Hamiltonian with diagonal and off-diagonal groups."""
     from openvqe_tpu.ops.pauli import PauliSum
 
     rng = np.random.default_rng(seed)
@@ -36,8 +36,7 @@ def build_problem(n: int = 21, seed: int = 11, n_gens: int = 6,
             s = "".join(rng.choice(list("IXYZ"), p=[0.55, 0.16, 0.17, 0.12])
                         for _ in range(n))
             if s.count("Y") % 2 == 1 and s.count("I") < n:
-                return PauliSum.from_term(n, float(rng.normal() * 0.4),
-                                          s) * 1j
+                return PauliSum.from_term(n, float(rng.normal() * 0.4), s)
 
     gens = [odd_y() for _ in range(n_gens)]
     ham = PauliSum.identity(n, 0.23)
@@ -79,7 +78,8 @@ def run_stream_impl_check(n: int = 21, repeats: int = 1) -> dict:
     for _ in range(repeats):
         e, g = bound.energy_and_grad(theta)
     t_warm = (time.time() - t0) / repeats
-    screen = ss.build_sharded_stream_pool_gradient_fn(gens, obj)
+    pool = [g * 1j for g in gens]      # cluster-op convention -> real pool
+    screen = ss.build_sharded_stream_pool_gradient_fn(pool, obj)
     psi = bound.forward(theta)
     t0 = time.time()
     v = screen(psi)
@@ -90,7 +90,7 @@ def run_stream_impl_check(n: int = 21, repeats: int = 1) -> dict:
     assert obj_ref._streaming, "reference must run the streaming engine"
     bref = obj_ref.bind(gens, hf_init)
     e_ref, g_ref = bref.energy_and_grad(theta)
-    gpool = gr.group_pool(compile_pool(gens, n))
+    gpool = gr.group_pool(compile_pool(pool, n))
     v_ref = st.build_streaming_pool_gradient_fn(
         gpool, obj_ref.ham_apply)(bref.forward(theta))
 
