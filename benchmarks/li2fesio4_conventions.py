@@ -1,23 +1,33 @@
 """Per-convention delta measurement for the native Li2FeSiO4 CS chain.
 
-Round-3 VERDICT item 3: the native derivation differed from the shipped
-(pyscf/symmer-derived) cs_hams.json by 0.18-1.36 Ha, attributed to basis
-conventions.  This script MEASURES each convention's contribution by
-re-deriving the CS Hamiltonians with the conventions toggled one at a
-time:
+Round-3 VERDICT item 3 asked for the 0.18-1.36 Ha native-vs-shipped gap
+to be decomposed per basis convention.  This script re-derives the CS
+Hamiltonians with the conventions toggled:
 
-  cart+atomSi : cartesian d shells, best-atom Si zetas (round-3 default;
-                matches the committed round-3 artifact)
-  sph+atomSi  : spherical-d projection, best-atom Si zetas
-  sph+molSi   : spherical-d projection, published molecular Si zetas
-                (round-4 default = what li2fesio4.py now ships)
+  cart+molSi : cartesian d shells, published molecular Si zetas
+               (the DEFAULT chain and the committed cs_hams_native.json)
+  sph+molSi  : pure-spherical-d projection, molecular Si zetas
+               (the pyscf convention for the d shells)
+  sph+atomSi : spherical-d projection, best-atom Si zetas
 
-For each config it prints one JSON row per CS qubit count with the
-derived ground energy and the delta vs the shipped Hamiltonian.  The
-results are pinned in tests/test_li2fesio4.py and summarized in
-PARITY.md.
+ROUND-4 MEASURED RESULT (run on this image, logs in BENCHMARKS.md):
 
-Run:  python benchmarks/li2fesio4_conventions.py [cart+atomSi|sph+atomSi|sph+molSi]
+  cart+molSi : RHF -3687.546 Ha CONVERGED; CS deltas -1.36..+0.62,
+               max |delta| 1.37, mean 0.76
+  sph+molSi  : the SCF's nearest stationary point is ~-3687.02 Ha — ODA
+               (chem/scf.rhf oda_init) plateaus there monotonically and
+               plain/level-shifted DIIS oscillate around it; CS deltas
+               at that point: -0.85..+0.98, max 0.98, mean 0.81
+
+i.e. the spherical projection does NOT close the gap for this package's
+Fe basis: the two cartesian-d s-combinations carry ~0.5 Ha of valence
+weight that compensates the best-atom-Fe-zeta / regenerated-3d-row fit
+(pyscf's spherical STO-3G reference sits at ~-3687.6).  The dominant
+per-cause term is therefore the Fe basis fit itself, not the d-shell
+convention, and the default chain stays cartesian (li2fesio4.py module
+docstring).
+
+Run:  python benchmarks/li2fesio4_conventions.py [cart+molSi|sph+molSi|sph+atomSi]
 (each run is ~20 CPU minutes; no TPU involved)
 """
 
@@ -38,7 +48,13 @@ def run(config: str):
         # published molecular entry for this process
         bas._STO3G_ZETA = {k: v for k, v in bas._STO3G_ZETA.items()
                            if k != "Si"}
-    out = li.compare(3, spherical=spherical)
+    save = None
+    if config == "cart+molSi":
+        # the default configuration IS the shipped artifact — regenerate it
+        import os
+        save = os.path.join(os.path.dirname(li.__file__),
+                            "cs_hams_native.json")
+    out = li.compare(3, spherical=spherical, save_path=save)
     shipped = load_cs_hams()
     rows = []
     for row in out["rows"]:
@@ -51,6 +67,7 @@ def run(config: str):
         print(json.dumps(r), flush=True)
     deltas = [abs(r["delta"]) for r in rows if "delta" in r]
     summary = {"config": config, "E_HF": out["info"]["E_HF"],
+               "converged": out["info"]["converged"],
                "max_abs_delta": max(deltas), "mean_abs_delta":
                float(np.mean(deltas))}
     print(json.dumps(summary), flush=True)
@@ -58,6 +75,6 @@ def run(config: str):
 
 
 if __name__ == "__main__":
-    cfg = sys.argv[1] if len(sys.argv) > 1 else "sph+molSi"
-    assert cfg in ("cart+atomSi", "sph+atomSi", "sph+molSi"), cfg
+    cfg = sys.argv[1] if len(sys.argv) > 1 else "cart+molSi"
+    assert cfg in ("cart+molSi", "sph+molSi", "sph+atomSi"), cfg
     run(cfg)

@@ -57,7 +57,20 @@ def _diis_extrapolate(errs: List[np.ndarray], focks: List[np.ndarray],
 
 def rhf(S: np.ndarray, hcore: np.ndarray, eri: np.ndarray, n_elec: int,
         e_nuc: float, max_iter: int = 200, conv: float = 1e-11,
-        diis_size: int = 8) -> RHFResult:
+        diis_size: int = 8, level_shift: float = 0.0,
+        damp: float = 0.0, oda_init: int = 0) -> RHFResult:
+    """``level_shift`` (Ha) raises the virtual block of the orthonormal
+    Fock before each diagonalization (Saunders-Hillier); ``damp`` mixes
+    that fraction of the previous density into each update; ``oda_init``
+    runs up to that many Optimal-Damping (Cances-Le Bris ODA) steps FIRST
+    — the RHF energy is exactly quadratic along the density segment
+    D0 + lambda*(D1-D0), so each step minimizes it analytically and the
+    energy decreases monotonically — before handing the relaxed density
+    to the DIIS loop.  These are the standard aids for oscillating
+    open-d-shell SCF (the Li2FeSiO4 spherical-d chain needs them); at a
+    converged stationary density they leave the SCF solution unchanged,
+    and the returned mo_energy / mo_coeff come from one final UNSHIFTED
+    Fock diagonalization."""
     if n_elec % 2 != 0:
         raise ValueError("RHF requires an even electron count "
                          "(all reference molecules are closed-shell)")
@@ -74,6 +87,24 @@ def rhf(S: np.ndarray, hcore: np.ndarray, eri: np.ndarray, n_elec: int,
     C = X @ C_ortho
     dm = 2.0 * C[:, :n_occ] @ C[:, :n_occ].T
 
+    if oda_init:
+        # ODA: E(D0 + l*dD) = E0 + l*Tr(dD F(D0)) + l^2/2 * Tr(dD G(dD))
+        # with G(D) = J(D) - K(D)/2; minimize over l in (0, 1].
+        F = fock(dm)
+        for _ in range(oda_init):
+            e_mo, C_ortho = eigh(X.T @ F @ X)
+            C = X @ C_ortho
+            dm1 = 2.0 * C[:, :n_occ] @ C[:, :n_occ].T
+            dD = dm1 - dm
+            a = float(np.einsum("pq,pq->", dD, F))        # <= 0 (aufbau)
+            G_dD = fock(dD) - hcore
+            b = 0.5 * float(np.einsum("pq,pq->", dD, G_dD))
+            if abs(a) < max(conv, 1e-9):
+                break
+            lam = 1.0 if b <= 0 else min(1.0, max(1e-3, -a / (2.0 * b)))
+            dm = dm + lam * dD
+            F = F + lam * G_dD  # F is linear in D: F(D + l*dD) = F + l*G(dD)
+
     errs: List[np.ndarray] = []
     focks: List[np.ndarray] = []
     e_old = 0.0
@@ -81,7 +112,7 @@ def rhf(S: np.ndarray, hcore: np.ndarray, eri: np.ndarray, n_elec: int,
     it = 0
     for it in range(1, max_iter + 1):
         F = fock(dm)
-        # DIIS error = FDS - SDF in orthonormal basis
+        # DIIS error = FDS - SDF in orthonormal basis (unshifted F)
         err = X.T @ (F @ dm @ S - S @ dm @ F) @ X
         errs.append(err)
         focks.append(F)
@@ -89,15 +120,26 @@ def rhf(S: np.ndarray, hcore: np.ndarray, eri: np.ndarray, n_elec: int,
             errs.pop(0)
             focks.pop(0)
         F = _diis_extrapolate(errs, focks, F)
-        e_mo, C_ortho = eigh(X.T @ F @ X)
+        Fo = X.T @ F @ X
+        if level_shift:
+            # occupied projector from the previous orbitals
+            P = C_ortho[:, :n_occ] @ C_ortho[:, :n_occ].T
+            Fo = Fo + level_shift * (np.eye(Fo.shape[0]) - P)
+        e_mo, C_ortho = eigh(Fo)
         C = X @ C_ortho
-        dm = 2.0 * C[:, :n_occ] @ C[:, :n_occ].T
+        dm_new = 2.0 * C[:, :n_occ] @ C[:, :n_occ].T
+        dm = (1.0 - damp) * dm_new + damp * dm if damp else dm_new
         e_elec = 0.5 * np.einsum("pq,pq->", dm, hcore + fock(dm))
         if abs(e_elec - e_old) < conv and np.max(np.abs(errs[-1])) < 1e-7:
             converged = True
             e_old = e_elec
             break
         e_old = e_elec
+    if level_shift or damp:
+        # report canonical (unshifted) orbitals and energies at the final
+        # density; the density itself is already stationary when converged
+        e_mo, C_ortho = eigh(X.T @ fock(dm) @ X)
+        C = X @ C_ortho
 
     return RHFResult(
         energy=float(e_old + e_nuc),

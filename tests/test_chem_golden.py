@@ -119,3 +119,34 @@ def test_co2_30q_pipeline_regression():
     assert md.info["HF"] == pytest.approx(-185.06312979, abs=1e-6)
     assert md.info["MP2"] == pytest.approx(-185.28435662, abs=1e-6)
     assert md.info["MP2"] < md.info["HF"]
+
+
+def test_scf_convergence_aids_reach_same_minimum():
+    """ODA init, level shift, and damping (chem/scf.rhf — the aids the
+    Li2FeSiO4 spherical-d chain needs) must all land on the plain-DIIS
+    SCF solution when it is well-behaved: same energy to 1e-8 on
+    H2O/STO-3G, with ODA reducing the DIIS iteration count."""
+    from openvqe_tpu.chem.basis import build_shells
+    from openvqe_tpu.chem.integrals import (electron_repulsion,
+                                            nuclear_attraction,
+                                            nuclear_repulsion,
+                                            overlap_kinetic)
+    from openvqe_tpu.chem.scf import rhf
+
+    geom = [("O", (0, 0, 0.1173)), ("H", (0, 0.7572, -0.4692)),
+            ("H", (0, -0.7572, -0.4692))]
+    shells, charges, coords = build_shells(geom, "sto-3g")
+    S, T = overlap_kinetic(shells)
+    V = nuclear_attraction(shells, charges, coords)
+    eri = electron_repulsion(shells)
+    e_nuc = nuclear_repulsion(charges, coords)
+    plain = rhf(S, T + V, eri, 10, e_nuc)
+    assert plain.converged
+    for kw in ({"oda_init": 30}, {"level_shift": 0.5}, {"damp": 0.3}):
+        aided = rhf(S, T + V, eri, 10, e_nuc, **kw)
+        assert aided.converged, kw
+        assert abs(aided.energy - plain.energy) < 1e-8, kw
+        # canonical orbitals are re-derived from an unshifted Fock
+        assert np.allclose(aided.mo_energy, plain.mo_energy, atol=1e-5), kw
+    oda = rhf(S, T + V, eri, 10, e_nuc, oda_init=30)
+    assert oda.n_iter <= plain.n_iter
