@@ -4,31 +4,36 @@ Round-3 VERDICT item 3 asked for the 0.18-1.36 Ha native-vs-shipped gap
 to be decomposed per basis convention.  This script re-derives the CS
 Hamiltonians with the conventions toggled:
 
-  cart+molSi : cartesian d shells, published molecular Si zetas
-               (the DEFAULT chain and the committed cs_hams_native.json)
-  sph+molSi  : pure-spherical-d projection, molecular Si zetas
-               (the pyscf convention for the d shells)
-  sph+atomSi : spherical-d projection, best-atom Si zetas
+  cart+atomSi : cartesian d shells, best-atom Si zetas — the chain's
+                PINNED conventions (li2fesio4.py) and the committed
+                cs_hams_native.json
+  cart+molSi  : cartesian d, published molecular Si zetas
+  sph+atomSi  : pure-spherical-d projection (pyscf's d convention)
+  sph+molSi   : spherical d + molecular Si zetas
 
-ROUND-4 MEASURED RESULT (run on this image, logs in BENCHMARKS.md):
+ROUND-4 MEASURED RESULTS (run on this image; summarized in PARITY.md and
+BENCHMARKS.md "Round-4 findings"):
 
-  cart+molSi : RHF -3687.546 Ha CONVERGED; CS deltas -1.36..+0.62,
-               max |delta| 1.37, mean 0.76
-  sph+molSi  : the SCF's nearest stationary point is ~-3687.02 Ha — ODA
-               (chem/scf.rhf oda_init) plateaus there monotonically and
-               plain/level-shifted DIIS oscillate around it; CS deltas
-               at that point: -0.85..+0.98, max 0.98, mean 0.81
+  cart+atomSi : RHF -3687.546 Ha CONVERGED; CS deltas -1.36..+0.62,
+                max |delta| 1.37, mean 0.76  (the artifact)
+  cart+molSi  : DIIS does NOT converge (600 iters, E ~-3687.467);
+                deltas at that point max 1.43, mean 0.81
+  sph+molSi   : nearest SCF stationary point ~-3687.02 Ha — ODA
+                (chem/scf.rhf oda_init) plateaus there monotonically,
+                plain/0.5/1.0-level-shifted DIIS oscillate; deltas at
+                that point -0.85..+0.98, max 0.98, mean 0.81
 
-i.e. the spherical projection does NOT close the gap for this package's
-Fe basis: the two cartesian-d s-combinations carry ~0.5 Ha of valence
+i.e. neither pyscf convention closes the gap for this package's Fe
+basis: the two cartesian-d s-combinations carry ~0.5 Ha of valence
 weight that compensates the best-atom-Fe-zeta / regenerated-3d-row fit
-(pyscf's spherical STO-3G reference sits at ~-3687.6).  The dominant
-per-cause term is therefore the Fe basis fit itself, not the d-shell
-convention, and the default chain stays cartesian (li2fesio4.py module
-docstring).
+(pyscf's spherical STO-3G reference sits at ~-3687.6), and only the
+cart+atomSi chain has a stable aufbau SCF solution.  The dominant
+per-cause term is the Fe basis fit itself, which cannot be matched
+offline (PARITY.md basis-set provenance), so the chain pins the
+converged conventions.
 
-Run:  python benchmarks/li2fesio4_conventions.py [cart+molSi|sph+molSi|sph+atomSi]
-(each run is ~20 CPU minutes; no TPU involved)
+Run:  python benchmarks/li2fesio4_conventions.py [config]
+(each run is ~15-20 CPU minutes; no TPU involved)
 """
 
 import json
@@ -43,14 +48,15 @@ def run(config: str):
     from openvqe_tpu.apps.quantum_batteries.utils import load_cs_hams
 
     spherical = config.startswith("sph")
-    if config.endswith("atomSi"):
-        # force the best-atom Si zetas (round-3 behavior) by removing the
-        # published molecular entry for this process
-        bas._STO3G_ZETA = {k: v for k, v in bas._STO3G_ZETA.items()
-                           if k != "Si"}
+    if config.endswith("molSi"):
+        # the chain pins prefer_published=False (best-atom Si); removing
+        # Si from the best-atom table makes it fall through to the
+        # published molecular zetas for this process
+        bas._STO3G_ZETA_BEST_ATOM = {
+            k: v for k, v in bas._STO3G_ZETA_BEST_ATOM.items() if k != "Si"}
     save = None
-    if config == "cart+molSi":
-        # the default configuration IS the shipped artifact — regenerate it
+    if config == "cart+atomSi":
+        # the pinned configuration IS the shipped artifact — regenerate it
         import os
         save = os.path.join(os.path.dirname(li.__file__),
                             "cs_hams_native.json")
@@ -75,6 +81,7 @@ def run(config: str):
 
 
 if __name__ == "__main__":
-    cfg = sys.argv[1] if len(sys.argv) > 1 else "cart+molSi"
-    assert cfg in ("cart+molSi", "sph+molSi", "sph+atomSi"), cfg
+    cfg = sys.argv[1] if len(sys.argv) > 1 else "cart+atomSi"
+    assert cfg in ("cart+atomSi", "cart+molSi", "sph+atomSi",
+                   "sph+molSi"), cfg
     run(cfg)

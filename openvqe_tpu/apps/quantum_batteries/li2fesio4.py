@@ -14,8 +14,6 @@ Parity notes (documented in PARITY.md): the reference ran pyscf RHF with
 SPHERICAL d functions and published molecular STO-3G scale factors.
 Round 4 MEASURED both conventions (benchmarks/li2fesio4_conventions.py):
 
-* Si molecular zetas (chem/basis._STO3G_ZETA, pinned by the
-  universal-row identity) are in by default.
 * The pure-spherical-d projection (chem/basis.cart2sph_matrix, 116
   cartesian -> 114 spherical functions) is plumbed through
   (``spherical=True``) but measured AGAINST for this system, so the
@@ -27,6 +25,11 @@ Round 4 MEASURED both conventions (benchmarks/li2fesio4_conventions.py):
   DIIS oscillate, chem/scf.rhf convergence aids).  Dropping the two
   s-combinations exposes the Fe-basis-fit gap that the cartesian
   functions compensate.
+* The published molecular Si zetas (chem/basis._STO3G_ZETA, the default
+  for Si molecules) were also measured for this cell: the full-cell
+  DIIS does not converge with them (600 iters, E ~-3687.467), so the
+  chain pins ``prefer_published=False`` — the exact conventions of the
+  committed, converged artifact.
 
 The remaining conventions that differ: Fe zetas are best-atom fits (the
 published Pietro-Hehre transition-metal factors are unrecoverable
@@ -107,7 +110,11 @@ def build_active_hamiltonian(n_homo_lumo: int = 3, conv: float = 1e-5,
     from ...ops.hamiltonian import freeze_orbitals
 
     geometry = load_geometry()
-    shells, charges, coords = build_shells(geometry, "sto-3g")
+    # best-atom Si zetas: the chain's converged conventions (see module
+    # docstring — the published Si valence zeta destabilizes the
+    # full-cell DIIS, measured in benchmarks/li2fesio4_conventions.py)
+    shells, charges, coords = build_shells(geometry, "sto-3g",
+                                           prefer_published=False)
     n_elec = int(sum(charges))
     if verbose:
         from ...chem.basis import nbasis

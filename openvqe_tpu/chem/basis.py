@@ -271,7 +271,8 @@ def cartesian_components(l: int) -> List[Tuple[int, int, int]]:
     raise NotImplementedError(f"l={l}")
 
 
-def element_shells(symbol: str, basis: str) -> List[Tuple[int, np.ndarray, np.ndarray]]:
+def element_shells(symbol: str, basis: str,
+                   prefer_published: bool = True) -> List[Tuple[int, np.ndarray, np.ndarray]]:
     """Return [(l, exps, coefs)] for one element in the given basis."""
     symbol = symbol.capitalize()
     basis = basis.lower().replace("_", "-")
@@ -279,14 +280,16 @@ def element_shells(symbol: str, basis: str) -> List[Tuple[int, np.ndarray, np.nd
         # published molecular scale factors first (they match the
         # reference's pyscf/BSE chain); best-atom fits only where no
         # published factors are recoverable (Fe)
-        if symbol in _STO3G_ZETA:
+        if symbol in _STO3G_ZETA and (prefer_published
+                                      or symbol not in _STO3G_ZETA_BEST_ATOM):
             zv = list(_STO3G_ZETA[symbol])
         elif symbol in _STO3G_ZETA_BEST_ATOM:
             zv = list(_STO3G_ZETA_BEST_ATOM[symbol].values())
         else:
             raise ValueError(f"no STO-3G data for {symbol}")
         return [(l, np.asarray(exps) * zv[slot] ** 2, np.asarray(coefs))
-                for l, exps, coefs, slot in _sto3g_shell_plan(symbol)]
+                for l, exps, coefs, slot in _sto3g_shell_plan(
+                    symbol, prefer_published=prefer_published)]
     if basis in ("6-31g", "631g"):
         if symbol not in _631G:
             raise ValueError(f"no 6-31G data for {symbol}")
@@ -314,11 +317,14 @@ def _contracted_shell(l: int, exps, coefs, center, ia: int) -> Shell:
     return Shell(l, center, np.asarray(exps, float), c / np.sqrt(s), ia)
 
 
-def build_shells(geometry, basis: str, unit: str = "angstrom") -> Tuple[List[Shell], List[int], np.ndarray]:
+def build_shells(geometry, basis: str, unit: str = "angstrom",
+                 prefer_published: bool = True) -> Tuple[List[Shell], List[int], np.ndarray]:
     """Build the shell list for a molecule.
 
     ``geometry``: [(symbol, (x, y, z)), ...] — same layout as the reference's
     molecule table (molecule_factory.py:45-304; coordinates in Angstrom).
+    ``prefer_published=False`` forces the best-atom STO-3G zetas where both
+    tables exist (Si) — the Li2FeSiO4 chain needs it (li2fesio4.py).
 
     Returns (shells, charges, coords_bohr).
     """
@@ -331,7 +337,8 @@ def build_shells(geometry, basis: str, unit: str = "angstrom") -> Tuple[List[She
         center = np.asarray(xyz, dtype=float) * scale
         charges.append(ATOMIC_NUMBER[sym])
         coords.append(center)
-        for l, exps, coefs in element_shells(sym, basis):
+        for l, exps, coefs in element_shells(
+                sym, basis, prefer_published=prefer_published):
             shells.append(_contracted_shell(l, exps, coefs, center, ia))
     return shells, charges, np.asarray(coords)
 

@@ -61,7 +61,15 @@ def test_native_artifact_consistent():
         # CS projections shifts the ground energies <= ~5e-4 Ha
         assert abs(e0 - row["E0_native"]) < 2e-3
         if "delta" in row:
-            assert abs(row["delta"]) < 2.0, row
+            # round-4 per-cause budget (benchmarks/li2fesio4_conventions.py,
+            # measured): the artifact chain (cart+atomSi, the only config
+            # with a stable aufbau SCF solution) measures max |delta| 1.37;
+            # the toggled conventions land at 0.98 (sph+molSi stationary
+            # point) and 1.43 (cart+molSi, non-convergent DIIS).  The
+            # dominant cause is the offline-unmatchable Fe STO-3G fit
+            # (~0.5 Ha, PARITY.md); the bound pins the measured artifact
+            # window (1.37 + margin) instead of the round-3 blanket 2.0.
+            assert abs(row["delta"]) < 1.5, row
     # variational within the native chain: more qubits -> lower or equal
     es = [r["E0_native"] for r in sorted(art["rows"],
                                          key=lambda r: r["qubits"])]
