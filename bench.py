@@ -7,24 +7,32 @@ CUDA-Q).  Same experiment protocol: repeats of the full one-shot ADAPT
 workflow, mean wall-clock per experiment, excluding warm-up compiles (the
 reference's CUDA-Q kernels are JIT-compiled on first use too).
 
-Row order is chosen so the rows that carry the scaling claim land FIRST
-under the soft time budget (round-2 lesson: cold compiles ate the budget
-before the ≥20-qubit row ran):
+Output protocol (round-4 VERDICT item 1 — the driver records only the last
+~2000 chars of stdout, and the old single mega-line outgrew that window so
+BENCH_r04 recorded "parsed": null with the headline rows cut off):
 
-  1. CS-ADAPT 7q/8q           (headline; baseline 0.292 / 1.219 s GPU)
-  2. H10/STO-3G 20q UCCSD full VQE iteration — streaming kernels
-     (no reference analog: its optimizer would need n_params+1 = 876
-     full circuit simulations per iteration there)
-  3. Rotoselect 50 cycles 2q/4q (baseline 15.44 / 58.86 s GPU)
-  4. CS-VQE HEA-4 6q           (baseline 11.67 s GPU)
-  5. H12/STO-3G 24q iteration  (budget permitting; the north-star range)
-  6. H13+ 26q system tapered to 24q iteration
-  7. CO2 30q system tapered to 28q iteration
-  8. impl="stream" sharded composition on a 1-device mesh (real chip)
-  9. fermionic ADAPT outer iteration, 26q system tapered (screen/optimize)
-  10. N2 20q full UCCSD iteration (reference molecule table)
+  * one FULL-detail JSON line per row, printed as the run progresses;
+  * full detail also written to BENCH_DETAIL.json at the repo root;
+  * ONE compact final summary line, guaranteed well under the tail window:
+    {"metric", "value", "unit", "vs_baseline", "rel_err_vs_ccsd", "rows":
+    [{"m": <slug>, "v": <value>, "x": <speedup-vs-baseline, if any>}]}.
+    The slug legend lives in BENCH_DETAIL.json ("slugs") and below.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "rows": [...]}.
+Row slugs (compact "m" key -> meaning):
+  cs_adapt_7q / cs_adapt_8q   CS-ADAPT s/experiment (baseline 0.292/1.219 s GPU)
+  h10_20q_iter                H10/STO-3G 20q UCCSD full VQE iteration (s)
+  rotoselect_2q / _4q         Rotoselect 50 cycles s/run (baseline 15.44/58.86 s)
+  cs_vqe_6q                   CS-VQE HEA-4 6q s/experiment (baseline 11.67 s)
+  h12_24q_iter                H12 24q full VQE iteration (s)
+  h13_26q_taper_iter          H13+ 26q system tapered to 24q, full iteration (s)
+  co2_30q_taper_iter          CO2 30q system tapered to 28q, full iteration (s)
+  stream_1dev_21q             impl="stream" sharded composition, 1-device mesh,
+                              warm training step (s); hard-asserted parity
+  adapt_26q_outer             fermionic ADAPT outer iteration, warm (s)
+  n2_20q_iter                 N2 20q full UCCSD iteration (s)
+  h16_32q_taper_energy        H16 32q system tapered to 30q, streaming
+                              energy evaluation on one chip (s)
+
 A persistent compile cache (/tmp/ovqe_jax_cache) makes repeat runs cheap;
 OVQE_BENCH_BUDGET overrides the soft budget (seconds).
 """
@@ -43,6 +51,7 @@ BASELINES = {
 }
 BASELINE_REL_ERR = 3.077e-05     # logs/adapt.txt:9-15
 TIME_BUDGET_S = float(os.environ.get("OVQE_BENCH_BUDGET", "1500"))
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def main():
@@ -53,10 +62,23 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     t_start = time.time()
-    rows = []
+    rows = []        # full detail (printed per-row + BENCH_DETAIL.json)
+    compact = []     # {"m", "v", "x"} summary entries for the final line
 
     def budget_left():
         return TIME_BUDGET_S - (time.time() - t_start)
+
+    def emit(slug, row, speedup=None):
+        row = dict(row, slug=slug)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+        if "error" in row:
+            compact.append({"m": slug, "err": row["error"][:60]})
+        else:
+            c = {"m": slug, "v": row["value"]}
+            if speedup is not None:
+                c["x"] = speedup
+            compact.append(c)
 
     # ---- 1. headline + 7q: CS-ADAPT ----------------------------------
     from openvqe_tpu.apps.quantum_batteries.adapt import run_cs_adapt
@@ -65,24 +87,27 @@ def main():
                        optimizer="lbfgs-fused", verbose=False)
     mean_7, mean_8 = res["mean_durations"]
     rel_7, rel_8 = res["mean_rel_errs"]
-    rows.append({"metric": "CS-ADAPT 7q s/experiment", "value": round(mean_7, 6),
-                 "baseline_s": BASELINES["cs_adapt_7q"],
-                 "speedup": round(BASELINES["cs_adapt_7q"] / mean_7, 2),
-                 "rel_err": rel_7})
-    rows.append({"metric": "CS-ADAPT 8q s/experiment", "value": round(mean_8, 6),
-                 "baseline_s": BASELINES["cs_adapt_8q"],
-                 "speedup": round(BASELINES["cs_adapt_8q"] / mean_8, 2),
-                 "rel_err": rel_8})
+    emit("cs_adapt_7q",
+         {"metric": "CS-ADAPT 7q s/experiment", "value": round(mean_7, 6),
+          "baseline_s": BASELINES["cs_adapt_7q"],
+          "speedup": round(BASELINES["cs_adapt_7q"] / mean_7, 2),
+          "rel_err": rel_7},
+         speedup=round(BASELINES["cs_adapt_7q"] / mean_7, 1))
+    emit("cs_adapt_8q",
+         {"metric": "CS-ADAPT 8q s/experiment", "value": round(mean_8, 6),
+          "baseline_s": BASELINES["cs_adapt_8q"],
+          "speedup": round(BASELINES["cs_adapt_8q"] / mean_8, 2),
+          "rel_err": rel_8},
+         speedup=round(BASELINES["cs_adapt_8q"] / mean_8, 1))
 
     # ---- 2. H10 20-qubit UCCSD full VQE iteration (streaming path) ----
-    sys.path.insert(0, os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), "benchmarks"))
+    sys.path.insert(0, os.path.join(_REPO, "benchmarks"))
     try:
         if budget_left() > 120:
             from bench_large_vqe import bench_chain
 
             r = bench_chain(10, repeats=3)
-            rows.append({
+            emit("h10_20q_iter", {
                 "metric": "H10/STO-3G 20q UCCSD VQE iteration "
                           "(energy + exact adjoint gradient)",
                 "value": r["s_per_iteration"],
@@ -93,7 +118,8 @@ def main():
                         "n_params+1=876 full simulations per iteration",
             })
     except Exception as e:                                  # noqa: BLE001
-        rows.append({"metric": "H10 iteration", "error": repr(e)[:200]})
+        emit("h10_20q_iter", {"metric": "H10 iteration",
+                              "error": repr(e)[:200]})
 
     # ---- 3. Rotoselect (fused single-executable optimizer) ------------
     try:
@@ -106,13 +132,15 @@ def main():
             for nq, v, err in zip((2, 4), r["mean_durations"],
                                   r["mean_rel_errs"]):
                 key = f"rotoselect_{nq}q"
-                rows.append({"metric": f"Rotoselect 50-cycle {nq}q s/run",
-                             "value": round(v, 4),
-                             "baseline_s": BASELINES[key],
-                             "speedup": round(BASELINES[key] / v, 2),
-                             "rel_err": err})
+                emit(key, {"metric": f"Rotoselect 50-cycle {nq}q s/run",
+                           "value": round(v, 4),
+                           "baseline_s": BASELINES[key],
+                           "speedup": round(BASELINES[key] / v, 2),
+                           "rel_err": err},
+                     speedup=round(BASELINES[key] / v, 1))
     except Exception as e:                                  # noqa: BLE001
-        rows.append({"metric": "Rotoselect", "error": repr(e)[:200]})
+        emit("rotoselect_2q", {"metric": "Rotoselect",
+                               "error": repr(e)[:200]})
 
     # ---- 4. CS-VQE HEA-4, 6 qubits ------------------------------------
     try:
@@ -122,14 +150,16 @@ def main():
             r = run_cs_vqe(layers=(4,), num_iterations=20, qubit_counts=(6,),
                            optimizer="lbfgs-fused", verbose=False)
             v = r["mean_durations"][4][0]
-            rows.append({"metric": "CS-VQE HEA-4 6q s/experiment (n=20, "
-                                   "fused)",
-                         "value": round(v, 4),
-                         "baseline_s": BASELINES["cs_vqe_hea4_6q"],
-                         "speedup": round(BASELINES["cs_vqe_hea4_6q"] / v, 2),
-                         "rel_err": r["mean_rel_errs"][4][0]})
+            emit("cs_vqe_6q",
+                 {"metric": "CS-VQE HEA-4 6q s/experiment (n=20, fused)",
+                  "value": round(v, 4),
+                  "baseline_s": BASELINES["cs_vqe_hea4_6q"],
+                  "speedup": round(BASELINES["cs_vqe_hea4_6q"] / v, 2),
+                  "rel_err": r["mean_rel_errs"][4][0]},
+                 speedup=round(BASELINES["cs_vqe_hea4_6q"] / v, 1))
     except Exception as e:                                  # noqa: BLE001
-        rows.append({"metric": "CS-VQE HEA-4 6q", "error": repr(e)[:200]})
+        emit("cs_vqe_6q", {"metric": "CS-VQE HEA-4 6q",
+                           "error": repr(e)[:200]})
 
     # ---- 5. H12 24-qubit iteration (north-star range; budget gated) ----
     try:
@@ -137,7 +167,7 @@ def main():
             from bench_large_vqe import bench_chain
 
             r = bench_chain(12, repeats=1)
-            rows.append({
+            emit("h12_24q_iter", {
                 "metric": "H12/STO-3G 24q UCCSD VQE iteration "
                           "(energy + exact adjoint gradient)",
                 "value": r["s_per_iteration"],
@@ -145,7 +175,8 @@ def main():
                 "energy": r.get("energy"),
             })
     except Exception as e:                                  # noqa: BLE001
-        rows.append({"metric": "H12 iteration", "error": repr(e)[:200]})
+        emit("h12_24q_iter", {"metric": "H12 iteration",
+                              "error": repr(e)[:200]})
 
     # ---- 6. H13+ 26-qubit system via exact Z2 tapering (24q cost) -------
     try:
@@ -153,7 +184,7 @@ def main():
             from bench_large_vqe import bench_chain
 
             r = bench_chain(13, charge=1, repeats=1, taper=True)
-            rows.append({
+            emit("h13_26q_taper_iter", {
                 "metric": "H13+/STO-3G 26-qubit system, full VQE iteration "
                           "tapered to 24q (exact ansatz-compatible Z2 "
                           "taper; energy matches the untapered 26q run)",
@@ -162,8 +193,8 @@ def main():
                 "energy": r.get("energy"),
             })
     except Exception as e:                                  # noqa: BLE001
-        rows.append({"metric": "H13+ tapered iteration",
-                     "error": repr(e)[:200]})
+        emit("h13_26q_taper_iter", {"metric": "H13+ tapered iteration",
+                                    "error": repr(e)[:200]})
 
     # ---- 7. CO2: reference-table molecule at 30-qubit system size -------
     try:
@@ -171,7 +202,7 @@ def main():
             from bench_large_vqe import bench_chain
 
             r = bench_chain("CO2", repeats=1, taper=True)
-            rows.append({
+            emit("co2_30q_taper_iter", {
                 "metric": "CO2/STO-3G (reference molecule table), "
                           "30-qubit-system full VQE iteration tapered to "
                           "28q (exact Z2 taper)",
@@ -180,19 +211,28 @@ def main():
                 "energy": r.get("energy"),
             })
     except Exception as e:                                  # noqa: BLE001
-        rows.append({"metric": "CO2 tapered iteration",
-                     "error": repr(e)[:200]})
+        emit("co2_30q_taper_iter", {"metric": "CO2 tapered iteration",
+                                    "error": repr(e)[:200]})
 
     # ---- 8. impl="stream" sharded composition, 1-device mesh (round-3
     #         VERDICT item 1: the literal shard_map -> pallas_call program
     #         a pod runs, on the real chip, vs the single-chip streaming
-    #         bound; ppermute is a no-op at d=0) ------------------------
+    #         bound; ppermute is a no-op at d=0).  Parity and the real-
+    #         coefficient certificate are HARD asserts (round-4 VERDICT
+    #         item 8): a silent regression fails the bench run. ----------
     try:
         if budget_left() > 150:
             from bench_sharded_stream import run_stream_impl_check
 
             r = run_stream_impl_check(n=21)
-            rows.append({
+            parity_ok = bool(r["de"] < 1e-4 and r["dg"] < 1e-4
+                             and r["dv"] < 1e-4)
+            if not parity_ok:
+                raise AssertionError(f"sharded-stream parity regression: {r}")
+            if not r["pool_real"]:
+                raise AssertionError(
+                    f"pool real-certificate regression: {r}")
+            emit("stream_1dev_21q", {
                 "metric": "sharded-stream composition impl='stream' "
                           "(1-device mesh, 21q): full training step + "
                           "real-certified pool screen vs single-chip "
@@ -202,13 +242,14 @@ def main():
                 "max_dev_energy": r["de"], "max_dev_grad": r["dg"],
                 "max_dev_pool_screen": r["dv"],
                 "pool_real_certified": r["pool_real"],
-                "s_pool_screen": r["s_pool_screen"],
-                "parity_ok": bool(r["de"] < 1e-4 and r["dg"] < 1e-4
-                                  and r["dv"] < 1e-4),
+                "s_pool_screen_warm": r["s_pool_screen"],
+                "s_pool_screen_cold": r["s_pool_screen_cold"],
+                "parity_ok": parity_ok,
             })
     except Exception as e:                                  # noqa: BLE001
-        rows.append({"metric": "sharded-stream impl='stream' 1-dev mesh",
-                     "error": repr(e)[:200]})
+        emit("stream_1dev_21q",
+             {"metric": "sharded-stream impl='stream' 1-dev mesh",
+              "error": repr(e)[:200]})
 
     # ---- 9. Fermionic ADAPT outer iteration, 26q system tapered to 24q
     #         (round-3 VERDICT item 2: driver-captured ADAPT row with the
@@ -220,7 +261,7 @@ def main():
             r = run_adapt_bench(n_atoms=13, iters=2, charge=1, taper=True)
             it = r["outer_iterations"]
             warm = it[-1] if len(it) > 1 else it[0]
-            rows.append({
+            emit("adapt_26q_outer", {
                 "metric": "fermionic ADAPT outer iteration, H13+ 26-qubit "
                           "system tapered to 24q (warm; full UCCSD pool "
                           "screen + L-BFGS-B re-optimization)",
@@ -235,8 +276,8 @@ def main():
                 "note": "reference sparse ADAPT tops out near ~20 qubits",
             })
     except Exception as e:                                  # noqa: BLE001
-        rows.append({"metric": "ADAPT 26q-system outer iteration",
-                     "error": repr(e)[:200]})
+        emit("adapt_26q_outer", {"metric": "ADAPT 26q-system outer iteration",
+                                 "error": repr(e)[:200]})
 
     # ---- 10. N2: reference-table diatomic at 20 qubits (round-3 VERDICT
     #          item 4: reference-table molecules beyond CO2/C2H4 carry
@@ -246,7 +287,7 @@ def main():
             from bench_large_vqe import bench_chain
 
             r = bench_chain("N2", repeats=3)
-            rows.append({
+            emit("n2_20q_iter", {
                 "metric": "N2/STO-3G (reference molecule table) 20-qubit "
                           "full UCCSD VQE iteration (energy + exact "
                           "adjoint gradient)",
@@ -255,21 +296,66 @@ def main():
                 "energy": r.get("energy"),
             })
     except Exception as e:                                  # noqa: BLE001
-        rows.append({"metric": "N2 iteration", "error": repr(e)[:200]})
+        emit("n2_20q_iter", {"metric": "N2 iteration",
+                             "error": repr(e)[:200]})
 
-    ok = rel_8 <= 2.0 * BASELINE_REL_ERR  # must match reference accuracy
+    # ---- 11. H16: 32-qubit system tapered to 30q, streaming energy on one
+    #          chip (round-4 VERDICT item 6 — the single-chip capability
+    #          frontier; the full iteration at this size is the virtual-mesh
+    #          sharded-stream composition gated by dryrun_multichip) -------
+    try:
+        if budget_left() > 300:
+            from bench_32q_frontier import run_32q_energy
+
+            r = run_32q_energy()
+            emit("h16_32q_taper_energy", {
+                "metric": "H16/STO-3G 32-qubit system tapered to 30q: "
+                          "UCCSD ansatz energy evaluation on ONE chip "
+                          "(in-place streaming rotation sweep + bucketed "
+                          "expectation), theta=0 == HF gate",
+                "value": r["s_per_energy"],
+                "qubits": r["qubits"], "system_qubits": 32,
+                "ops": r["ops"], "h_groups": r["h_groups"],
+                "theta0_matches_hf": r["match_hf"],
+                "energy": r["ansatz_energy"],
+                "state_gb": r["state_gb"],
+            })
+    except Exception as e:                                  # noqa: BLE001
+        emit("h16_32q_taper_energy", {"metric": "H16 32q frontier energy",
+                                      "error": repr(e)[:200]})
+
+    # hard accuracy gate: the headline must match reference accuracy
+    ok = rel_8 <= 2.0 * BASELINE_REL_ERR
+    detail = {
+        "headline": "CS-ADAPT-VQE 8-qubit wall-clock per experiment",
+        "value_s": round(mean_8, 6),
+        "vs_baseline": round(BASELINES["cs_adapt_8q"] / mean_8, 3),
+        "rel_err_vs_ccsd": rel_8,
+        "baseline_s": BASELINES["cs_adapt_8q"],
+        "accuracy_ok": ok,
+        "total_wall_s": round(time.time() - t_start, 1),
+        "slugs": "see bench.py module docstring",
+        "rows": rows,
+    }
+    with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    # ONE compact final line — everything the driver record needs, well
+    # under its ~2000-char tail window (round-4 VERDICT item 1)
     out = {
         "metric": "CS-ADAPT-VQE 8-qubit wall-clock per experiment"
                   + ("" if ok else " (ACCURACY MISS)"),
         "value": round(mean_8, 6),
         "unit": "s",
         "vs_baseline": round(BASELINES["cs_adapt_8q"] / mean_8, 3),
-        "rel_err_vs_ccsd": rel_8,
-        "baseline_s": BASELINES["cs_adapt_8q"],
+        "rel_err_vs_ccsd": round(rel_8, 9),
         "total_wall_s": round(time.time() - t_start, 1),
-        "rows": rows,
+        "detail": "BENCH_DETAIL.json",
+        "rows": compact,
     }
-    print(json.dumps(out))
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) < 1800, f"summary line too long ({len(line)} chars)"
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,214 @@
+"""32-qubit-system capability frontier (round-4 VERDICT item 6).
+
+H16/STO-3G — a 32-spin-orbital system, one step past the reference's
+whole molecule table (`molecule_factory.py:45-304` tops out at 30-qubit
+systems like CO2/C2H4) — run two ways:
+
+  1. ``run_32q_energy()``: exact Z2 taper (alpha/beta electron-number
+     parity, ansatz-compatible — ops/tapering.py) takes the system to 30
+     qubits, where the ENERGY evaluation fits ONE v5e chip via the XL
+     streaming path (in-place donated rotation sweep + read-only bucketed
+     expectation, sim/streaming.py).  theta=0 must reproduce the SCF HF
+     energy; the MP2-guess ansatz energy must land below HF.
+
+  2. ``run_32q_mesh_iteration()``: a REDUCED full iteration (energy +
+     reversible-adjoint gradient + descent step) of the same tapered
+     system on the 8-device virtual CPU mesh through the sharded-stream
+     composition (parallel/sharded_stream.py) — real molecular H terms
+     and real UCCSD pool operators, truncated to a CPU-feasible term/op
+     count (the host is single-core; a full 36k-term pass over 2^30
+     amplitudes is a TPU-pod job, not a CPU check), cross-checked against
+     the single-device grouped engine at the same truncation.
+
+Setup (SCF + JW transform + taper + grouping) is cached in /tmp: the
+driver's end-of-round bench run reuses it.
+
+Usage:
+  python benchmarks/bench_32q_frontier.py            (TPU energy row)
+  python benchmarks/bench_32q_frontier.py --mesh     (virtual-mesh check)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_CACHE = "/tmp/ovqe_32q_setup_h16.pkl"
+
+
+def setup_32q():
+    """H16/STO-3G (32q) -> exact Z2 taper -> 30q problem + grouped arrays.
+    Returns (hsp, gens, theta0, hf_init, gseq, gham, meta)."""
+    if os.path.exists(_CACHE):
+        with open(_CACHE, "rb") as f:
+            return pickle.load(f)
+
+    from openvqe_tpu.chem.frontend import compute_molecule
+    from openvqe_tpu.ops.hamiltonian import (
+        ElectronicStructureHamiltonian, convert_to_h_integrals)
+    from openvqe_tpu.ops.tapering import taper_vqe_problem
+    from openvqe_tpu.ops.transforms import transform_operator
+    from openvqe_tpu.ops.uccsd import get_cluster_ops_and_init_guess
+    from openvqe_tpu.sim import grouped as gr
+    from openvqe_tpu.sim.compile import compile_op_sequence, compile_pauli_sum
+
+    md = compute_molecule(
+        [("H", (0, 0, 1.0 * k)) for k in range(16)], "sto-3g",
+        charge=0, spin=0, run_fci_flag=False)
+    hpq, hpqrs = convert_to_h_integrals(md.one_body_integrals,
+                                        md.two_body_integrals)
+    hsp = ElectronicStructureHamiltonian(
+        hpq, hpqrs, md.nuclear_repulsion).to_spin("JW")
+    n_sys = hsp.nbqbits
+    assert n_sys == 32, n_sys
+    eps_full = [e for e in md.orbital_energies for _ in range(2)]
+    cluster_ops, theta0, hf_init = get_cluster_ops_and_init_guess(
+        md.n_elec, [0] * n_sys, eps_full, hpqrs)
+    gens = [transform_operator(op, "JW") * 1j for op in cluster_ops]
+    hsp, gens, hf_init, _tap = taper_vqe_problem(hsp, gens, hf_init)
+    n = hsp.nbqbits
+
+    gseq = gr.group_op_sequence(compile_op_sequence(gens, n))
+    gham = gr.group_pauli_sum(compile_pauli_sum(hsp, n))
+    meta = {"system": "H16", "system_qubits": n_sys, "qubits": n,
+            "h_terms": len(hsp), "ops": len(gens),
+            "hf_energy": float(md.info["HF"]), "mp2": float(md.info["MP2"])}
+    data = (hsp, gens, [float(t) for t in theta0], hf_init, gseq, gham, meta)
+    with open(_CACHE, "wb") as f:
+        pickle.dump(data, f)
+    return data
+
+
+def run_32q_energy() -> dict:
+    """TPU: 30q (tapered 32q-system) UCCSD ansatz energy on one chip."""
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ovqe_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from openvqe_tpu.sim import streaming as st
+
+    t0 = time.time()
+    hsp, gens, theta0, hf_init, gseq, gham, meta = setup_32q()
+    setup_s = time.time() - t0
+    e_hf = meta["hf_energy"]
+    n = meta["qubits"]
+    energy = st.build_streaming_energy_xl_fn(gseq, gham, hf_init)
+
+    t1 = time.time()
+    e0 = energy(np.zeros(gseq.n_ops))
+    t_first = time.time() - t1            # includes compile on a cold cache
+    match_hf = abs(e0 - e_hf) < 5e-4
+
+    th = np.asarray(theta0, np.float32)
+    t2 = time.time()
+    e1 = energy(th)
+    dt = time.time() - t2                 # warm
+
+    return {
+        "system": f"H16 tapered 32->{n}q", "qubits": n,
+        "ops": gseq.n_ops, "rot_groups": gseq.n_groups,
+        "h_groups": gham.n_groups, "h_terms": meta["h_terms"],
+        "setup_s": round(setup_s, 1),
+        "first_call_s": round(t_first, 1),
+        "s_per_energy": round(dt, 2),
+        "theta0_energy": float(e0), "hf_energy": e_hf,
+        "match_hf": bool(match_hf),
+        "ansatz_energy": float(e1),
+        "below_hf": bool(e1 < e_hf + 1e-6),
+        "state_gb": round(2 * (1 << n) * 4 / 2**30, 2),
+        "backend": jax.default_backend(),
+    }
+
+
+def run_32q_mesh_iteration(n_devices: int = 8, n_ops: int = 4,
+                           n_ham_offdiag: int = 6,
+                           n_ham_diag: int = 8) -> dict:
+    """Virtual-mesh check: a reduced full iteration (energy + adjoint
+    gradient + descent) of the tapered H16 system through the
+    sharded-stream composition, on real molecular operators; single-device
+    grouped cross-check at the same truncation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from openvqe_tpu.ops.pauli import PauliSum
+    from openvqe_tpu.parallel import sharded as sh
+    from openvqe_tpu.parallel import sharded_stream as ss
+    from openvqe_tpu.sim import grouped as gr
+    from openvqe_tpu.sim.compile import compile_op_sequence, compile_pauli_sum
+
+    assert jax.default_backend() == "cpu"
+    hsp, gens_all, theta0, hf_init, _gseq, _gham, meta = setup_32q()
+    n = meta["qubits"]
+
+    # truncate: largest-|coeff| off-diagonal + largest diagonal H terms
+    items = list(hsp)                       # [((x, z), coeff)]
+    diag = sorted([t for t in items if t[0][0] == 0],
+                  key=lambda t: -abs(t[1]))[:n_ham_diag]
+    offd = sorted([t for t in items if t[0][0] != 0],
+                  key=lambda t: -abs(t[1]))[:n_ham_offdiag]
+    ham = PauliSum(n, dict(diag + offd),
+                   constant_coeff=hsp.constant_coeff)
+
+    # truncate pool: largest-|MP2-amplitude| operators
+    order = np.argsort(-np.abs(np.asarray(theta0)))[:n_ops]
+    gens = [gens_all[int(k)] for k in order]
+    theta = np.asarray([theta0[int(k)] for k in order]) + 0.05
+
+    mesh = sh.make_mesh(n_devices)
+    obj = ss.ShardedStreamObjective(ham, mesh, impl="xla")
+    bound = obj.bind(gens, hf_init)
+    t0 = time.time()
+    e0, g0 = bound.energy_and_grad(theta)
+    t_iter = time.time() - t0
+    theta1 = theta - 0.02 * np.asarray(g0)
+    e1, _ = bound.energy_and_grad(theta1)
+
+    # single-device grouped cross-check (same truncation)
+    gseq_t = gr.group_op_sequence(compile_op_sequence(gens, n))
+    gham_t = gr.group_pauli_sum(compile_pauli_sum(ham, n))
+    psi0 = np.zeros((2, 1 << n), np.float32)
+    psi0[0, hf_init] = 1.0
+    th = jnp.asarray(theta, jnp.float32)
+    psi = gr.apply_grouped_ops(jnp.asarray(psi0), th,
+                               jnp.asarray(gseq_t.x), jnp.asarray(gseq_t.z),
+                               jnp.asarray(gseq_t.s, jnp.float32),
+                               jnp.asarray(gseq_t.op))
+    hargs = tuple(np.asarray(a, np.float32)
+                  if isinstance(a, (np.ndarray, float))
+                  and np.asarray(a).dtype.kind == "f" else a
+                  for a in gr.ham_as_device(gham_t))
+    e_ref = float(gr.grouped_expectation(psi, *hargs))
+
+    ok = bool(abs(e0 - e_ref) < 1e-4 and np.isfinite(e1) and e1 <= e0 + 1e-7)
+    out = {"metric": "H16 tapered 32->30q reduced iteration, "
+                     f"{n_devices}-device virtual mesh (sharded-stream, "
+                     "real molecular ops)",
+           "qubits": n, "n_ops": len(gens), "h_terms": len(ham),
+           "E0": float(e0), "E0_single_device": e_ref,
+           "dev": abs(float(e0) - e_ref),
+           "E1": float(e1), "descends": bool(e1 <= e0 + 1e-7),
+           "grad_norm": float(np.linalg.norm(np.asarray(g0))),
+           "s_iteration_cpu": round(t_iter, 1), "ok": ok}
+    assert ok, out
+    return out
+
+
+if __name__ == "__main__":
+    if "--mesh" in sys.argv:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+                 if "host_platform_device_count" not in f]
+        flags.append("--xla_force_host_platform_device_count=8")
+        os.environ["XLA_FLAGS"] = " ".join(flags)
+        print(json.dumps(run_32q_mesh_iteration()), flush=True)
+    else:
+        print(json.dumps(run_32q_energy()), flush=True)

@@ -83,7 +83,10 @@ def run_stream_impl_check(n: int = 21, repeats: int = 1) -> dict:
     psi = bound.forward(theta)
     t0 = time.time()
     v = screen(psi)
-    t_screen = time.time() - t0
+    t_screen_cold = time.time() - t0   # includes compile on a cold cache
+    t0 = time.time()
+    v = screen(psi)
+    t_screen = time.time() - t0        # warm: the steady-state screen cost
 
     # --- single-chip streaming reference (the round-2/3-validated bound) --
     obj_ref = VQEObjective(ham)
@@ -107,6 +110,7 @@ def run_stream_impl_check(n: int = 21, repeats: int = 1) -> dict:
         "s_energy_grad_cold": round(t_cold, 3),
         "s_energy_grad": round(t_warm, 3),
         "s_pool_screen": round(t_screen, 3),
+        "s_pool_screen_cold": round(t_screen_cold, 3),
         "backend": jax.default_backend(),
     }
 

@@ -32,8 +32,10 @@ per-cause term is the Fe basis fit itself, which cannot be matched
 offline (PARITY.md basis-set provenance), so the chain pins the
 converged conventions.
 
-Run:  python benchmarks/li2fesio4_conventions.py [config]
-(each run is ~15-20 CPU minutes; no TPU involved)
+Run:  python benchmarks/li2fesio4_conventions.py [config] [--save]
+(each run is ~15-20 CPU minutes; no TPU involved).  --save (cart+atomSi
+only) regenerates the committed cs_hams_native.json artifact; without it
+no versioned file is touched.
 """
 
 import json
@@ -55,8 +57,11 @@ def run(config: str):
         bas._STO3G_ZETA_BEST_ATOM = {
             k: v for k, v in bas._STO3G_ZETA_BEST_ATOM.items() if k != "Si"}
     save = None
-    if config == "cart+atomSi":
-        # the pinned configuration IS the shipped artifact — regenerate it
+    if config == "cart+atomSi" and "--save" in sys.argv:
+        # the pinned configuration IS the shipped artifact; regenerating
+        # the versioned file is an EXPLICIT opt-in (--save), never a side
+        # effect of a measurement run — numeric drift across machines/BLAS
+        # must not silently mutate the committed artifact
         import os
         save = os.path.join(os.path.dirname(li.__file__),
                             "cs_hams_native.json")
@@ -81,7 +86,8 @@ def run(config: str):
 
 
 if __name__ == "__main__":
-    cfg = sys.argv[1] if len(sys.argv) > 1 else "cart+atomSi"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    cfg = args[0] if args else "cart+atomSi"
     assert cfg in ("cart+atomSi", "cart+molSi", "sph+atomSi",
                    "sph+molSi"), cfg
     run(cfg)

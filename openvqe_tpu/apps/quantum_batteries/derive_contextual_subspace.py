@@ -34,12 +34,18 @@ from ...ops.tapering import taper_hamiltonian
 
 
 def derive_native(ps: PauliSum, ref_bits: Sequence[int],
-                  qubit_targets: Sequence[int]) -> Dict[int, PauliSum]:
+                  qubit_targets: Sequence[int],
+                  clique_strategy: str = "lcu") -> Dict[int, PauliSum]:
     """Taper the exact Z2 symmetries (sector fixed by ``ref_bits``), then
     project onto contextual subspaces of each target size — the reference
-    notebook's flow (cells 26-36) on native machinery."""
+    notebook's flow (cells 26-36) on native machinery.  ``clique_strategy``
+    defaults to "lcu": the notebook's own symmer configuration
+    (``unitary_partitioning_method='LCU'``, cell 36) enforces the
+    noncontextual clique operator via an exact LCU rotation; "none" is the
+    plain stabilizer-only projection (ops/contextual.py)."""
     tap = taper_hamiltonian(ps, ref_bits)
-    cs = ContextualSubspace.build(tap.tapered)
+    cs = ContextualSubspace.build(tap.tapered,
+                                  clique_strategy=clique_strategy)
     out: Dict[int, PauliSum] = {}
     for q in qubit_targets:
         if 0 < q <= tap.tapered.nbqbits:

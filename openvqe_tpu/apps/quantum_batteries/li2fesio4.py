@@ -161,8 +161,12 @@ def build_active_hamiltonian(n_homo_lumo: int = 3, conv: float = 1e-5,
 def derive_cs_hamiltonians(n_homo_lumo: int = 3,
                            qubit_targets: Sequence[int] = (2, 3, 4, 5, 6, 7,
                                                            8),
-                           verbose: bool = True, spherical: bool = False):
-    """The full native chain -> {n_qubits: PauliSum} + metadata."""
+                           verbose: bool = True, spherical: bool = False,
+                           clique_strategy: str = "lcu"):
+    """The full native chain -> {n_qubits: PauliSum} + metadata.
+    ``clique_strategy="lcu"`` (default) matches the reference notebook's
+    symmer configuration (unitary_partitioning_method='LCU', cell 36);
+    "none" is the stabilizer-only projection."""
     from .derive_contextual_subspace import derive_native
 
     ham, n_active_elec, info = build_active_hamiltonian(n_homo_lumo,
@@ -171,15 +175,19 @@ def derive_cs_hamiltonians(n_homo_lumo: int = 3,
     hsp = ham.to_spin("JW")
     n_q = hsp.nbqbits
     ref_bits = [1 if q < n_active_elec else 0 for q in range(n_q)]
-    hams = derive_native(hsp, ref_bits, qubit_targets)
+    hams = derive_native(hsp, ref_bits, qubit_targets,
+                         clique_strategy=clique_strategy)
+    info["clique_strategy"] = clique_strategy
     if verbose:
         print(f"active-space Hamiltonian: {n_q} qubits, {len(hsp)} terms; "
-              f"CS sizes: {sorted(hams)}", flush=True)
+              f"CS sizes: {sorted(hams)} (clique_strategy="
+              f"{clique_strategy})", flush=True)
     return hams, hsp, info
 
 
 def compare(n_homo_lumo: int = 3, qubit_targets=(2, 3, 4, 5, 6, 7, 8),
-            save_path: str | None = None, spherical: bool = False):
+            save_path: str | None = None, spherical: bool = False,
+            clique_strategy: str = "lcu"):
     """Derived-vs-shipped ground energies per qubit count.  The shipped
     cs_hams.json came from the reference's pyscf/symmer chain; deltas
     reflect the documented basis-convention gaps (module docstring).
@@ -192,7 +200,8 @@ def compare(n_homo_lumo: int = 3, qubit_targets=(2, 3, 4, 5, 6, 7, 8),
     from .utils import load_cs_hams
 
     hams, hsp, info = derive_cs_hamiltonians(n_homo_lumo, qubit_targets,
-                                             spherical=spherical)
+                                             spherical=spherical,
+                                             clique_strategy=clique_strategy)
     shipped = load_cs_hams()
     rows = []
     for q in sorted(hams):

@@ -101,7 +101,12 @@ def rhf(S: np.ndarray, hcore: np.ndarray, eri: np.ndarray, n_elec: int,
             b = 0.5 * float(np.einsum("pq,pq->", dD, G_dD))
             if abs(a) < max(conv, 1e-9):
                 break
-            lam = 1.0 if b <= 0 else min(1.0, max(1e-3, -a / (2.0 * b)))
+            lam = 1.0 if b <= 0 else min(1.0, -a / (2.0 * b))
+            if lam < 1e-3:
+                # analytic minimizer is negligibly small: forcing a floor
+                # step could RAISE the energy (breaking monotonicity); the
+                # segment is exhausted — hand over to DIIS
+                break
             dm = dm + lam * dD
             F = F + lam * G_dD  # F is linear in D: F(D + l*dD) = F + l*G(dD)
 
@@ -136,10 +141,15 @@ def rhf(S: np.ndarray, hcore: np.ndarray, eri: np.ndarray, n_elec: int,
             break
         e_old = e_elec
     if level_shift or damp:
-        # report canonical (unshifted) orbitals and energies at the final
-        # density; the density itself is already stationary when converged
+        # report canonical (unshifted) orbitals + the aufbau density THEY
+        # generate, so the returned (mo_coeff, mo_energy, dm_ao, energy)
+        # are mutually consistent even when the loop exits unconverged
+        # (the damped density is non-idempotent); at convergence this
+        # reproduces the stationary density
         e_mo, C_ortho = eigh(X.T @ fock(dm) @ X)
         C = X @ C_ortho
+        dm = 2.0 * C[:, :n_occ] @ C[:, :n_occ].T
+        e_old = 0.5 * np.einsum("pq,pq->", dm, hcore + fock(dm))
 
     return RHFResult(
         energy=float(e_old + e_nuc),

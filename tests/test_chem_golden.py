@@ -142,11 +142,15 @@ def test_scf_convergence_aids_reach_same_minimum():
     e_nuc = nuclear_repulsion(charges, coords)
     plain = rhf(S, T + V, eri, 10, e_nuc)
     assert plain.converged
+    results = {}
     for kw in ({"oda_init": 30}, {"level_shift": 0.5}, {"damp": 0.3}):
         aided = rhf(S, T + V, eri, 10, e_nuc, **kw)
+        results[next(iter(kw))] = aided
         assert aided.converged, kw
         assert abs(aided.energy - plain.energy) < 1e-8, kw
         # canonical orbitals are re-derived from an unshifted Fock
         assert np.allclose(aided.mo_energy, plain.mo_energy, atol=1e-5), kw
-    oda = rhf(S, T + V, eri, 10, e_nuc, oda_init=30)
-    assert oda.n_iter <= plain.n_iter
+    # the pinned property: ODA pre-relaxation hands DIIS a better density
+    # than the core guess, so DIIS needs STRICTLY fewer iterations
+    # (n_iter counts DIIS iterations only; ODA steps are pre-loop)
+    assert results["oda_init"].n_iter < plain.n_iter

@@ -72,6 +72,94 @@ def test_projection_exact_at_full_and_variational(h4_jw):
     assert errors[n - 2] < 0.05
 
 
+def _dense_restriction_e0(h, enforced, n, rot=None):
+    """Ground energy of (rot H rot^dag) restricted to the joint stabilizer
+    eigenspace of ``enforced`` = [(key, sector)] — the semantics
+    project_onto_subspace must reproduce exactly."""
+    Hd = h.to_matrix()
+    if rot is not None:
+        Rd = rot.to_matrix()
+        Hd = Rd @ Hd @ Rd.conj().T
+    P = np.eye(Hd.shape[0], dtype=complex)
+    for key, qv in enforced:
+        G = cs._herm_unit(n, key).to_matrix()
+        P = P @ (np.eye(Hd.shape[0]) + qv * G) / 2
+    w, V = np.linalg.eigh(P)
+    B = V[:, w > 0.5]
+    return float(np.linalg.eigvalsh(B.conj().T @ Hd @ B)[0])
+
+
+@pytest.fixture(scope="module")
+def random_noncon_ham():
+    """Interleaved-support Hamiltonian whose noncontextual generators share
+    pivots after renumbering — the round-4 multi-stabilizer projection bug
+    (stale original-index keys on the shrunken Hamiltonian) reproduced on
+    exactly this shape."""
+    rng = np.random.default_rng(5)
+    n = 6
+    strings = ["ZZIIII", "IIZZII", "IIIIZZ", "ZIZIZI", "XXIIII", "IIXXII",
+               "YYIIII", "ZZZZII", "IZIZIZ", "XIXIII", "IIYIYI", "ZIIZII",
+               "IXXIII", "IIIXXI"]
+    h = PauliSum.identity(n, 0.3)
+    for s in strings:
+        h = h + PauliSum.from_term(n, float(rng.normal()), s)
+    return h, n
+
+
+def test_projection_equals_dense_restriction(random_noncon_ham):
+    """The projected CS Hamiltonian's ground energy must EQUAL the dense
+    restriction P H P of H to the joint stabilizer eigenspace (anticommuting
+    terms have exactly zero block there), at every target qubit count."""
+    h, n = random_noncon_ham
+    ctx = cs.ContextualSubspace.build(h)
+    for q in range(2, n + 1):
+        e = float(np.linalg.eigvalsh(
+            ctx.project_onto_subspace(q).to_matrix())[0])
+        eref = _dense_restriction_e0(h, ctx._enforced(q), n)
+        assert e == pytest.approx(eref, abs=1e-10), q
+
+
+def test_lcu_unitary_partitioning_matches_dense(random_noncon_ham):
+    """clique_strategy='lcu' (symmer unitary_partitioning_method='LCU',
+    contextual_subspace.ipynb cell 36): R is unitary, R A R^dag lands on
+    the dominant clique representative, and the projected energies equal
+    the dense restriction of R H R^dag with the clique stabilizer enforced
+    first."""
+    h, n = random_noncon_ham
+    ctx = cs.ContextualSubspace.build(h, clique_strategy="lcu")
+    assert ctx.solution.r is not None
+    r_lcu, rep_w, s = ctx._clique()
+    Rd = r_lcu.to_matrix()
+    assert np.allclose(Rd @ Rd.conj().T, np.eye(Rd.shape[0]), atol=1e-10)
+    for q in range(2, n):
+        e = float(np.linalg.eigvalsh(
+            ctx.project_onto_subspace(q).to_matrix())[0])
+        eref = _dense_restriction_e0(
+            h, [(rep_w, s)] + ctx._enforced(q), n, rot=r_lcu)
+        assert e == pytest.approx(eref, abs=1e-10), q
+    # the clique channel carries noncontextual correlation the
+    # stabilizer-only projection cannot: strictly lower CS energy here
+    ctx0 = cs.ContextualSubspace.build(h)
+    e_lcu = float(np.linalg.eigvalsh(
+        ctx.project_onto_subspace(4).to_matrix())[0])
+    e_none = float(np.linalg.eigvalsh(
+        ctx0.project_onto_subspace(4).to_matrix())[0])
+    assert e_lcu < e_none - 0.1
+
+
+def test_lcu_variational_on_h4(h4_jw):
+    hsp, md = h4_jw
+    ctx = cs.ContextualSubspace.build(hsp, clique_strategy="lcu")
+    fci = md.info["FCI"]
+    prev = None
+    for q in (2, 4, 6, 8):
+        h_cs = ctx.project_onto_subspace(q)
+        e0 = float(np.linalg.eigvalsh(h_cs.to_matrix())[0])
+        assert e0 >= fci - 1e-9
+        prev = e0
+    assert prev == pytest.approx(fci, abs=1e-9)    # q = n is exact
+
+
 def test_derivation_loop_shapes(h4_jw):
     hsp, _ = h4_jw
     hams = cs.derive_contextual_hamiltonians(hsp, range(2, 9))
