@@ -23,7 +23,8 @@ import sys
 import time
 
 if __name__ == "__main__":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # hard override (not setdefault): the global env sets JAX_PLATFORMS=axon
+    os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["PALLAS_AXON_POOL_IPS"] = ""
     flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
              if "host_platform_device_count" not in f]

@@ -203,7 +203,9 @@ def run_32q_mesh_iteration(n_devices: int = 8, n_ops: int = 4,
 
 if __name__ == "__main__":
     if "--mesh" in sys.argv:
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        # hard override (not setdefault): the global env sets
+        # JAX_PLATFORMS=axon and the mesh check must never claim the TPU
+        os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ["PALLAS_AXON_POOL_IPS"] = ""
         flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
                  if "host_platform_device_count" not in f]

@@ -13,8 +13,11 @@ splits so the warm iteration is separable from the compile-laden first).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

@@ -12,7 +12,12 @@ Hamiltonians with the conventions toggled:
   sph+molSi   : spherical d + molecular Si zetas
 
 ROUND-4 MEASURED RESULTS (run on this image; summarized in PARITY.md and
-BENCHMARKS.md "Round-4 findings"):
+BENCHMARKS.md "Round-4 findings").  NOTE (round 5): the RHF rows below
+remain valid, but the CS-delta columns were measured with the
+multi-stabilizer projection defect ops/contextual.py carried until round
+5 (fixed + pinned to the dense restriction) and without the LCU clique
+convention; the authoritative CS deltas and their per-stage attribution
+are now benchmarks/li2fesio4_stages.py / li2fesio4_stages.json:
 
   cart+atomSi : RHF -3687.546 Ha CONVERGED; CS deltas -1.36..+0.62,
                 max |delta| 1.37, mean 0.76  (the artifact)

@@ -34,7 +34,10 @@ import sys
 import time
 
 if __name__ == "__main__":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # hard override: the global env sets JAX_PLATFORMS=axon, so setdefault
+    # would silently leave the TPU platform active (host-side chemistry +
+    # Lanczos only — this script must never claim the TPU tunnel)
+    os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["PALLAS_AXON_POOL_IPS"] = ""
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -31,15 +31,20 @@ Round 4 MEASURED both conventions (benchmarks/li2fesio4_conventions.py):
   chain pins ``prefer_published=False`` — the exact conventions of the
   committed, converged artifact.
 
-The remaining conventions that differ: Fe zetas are best-atom fits (the
-published Pietro-Hehre transition-metal factors are unrecoverable
-offline; chem/basis.py provenance) and ops/contextual uses the
-stabilizer-projection strategy without symmer's LCU unitary
-partitioning.  The derived CS Hamiltonians are therefore the same
-construction but not bitwise the shipped ``cs_hams.json``; ``compare()``
-reports both spectra side by side, and
-benchmarks/li2fesio4_conventions.py measures each convention's
-contribution to the delta (pinned in tests/test_li2fesio4.py).
+Round 5 closed the projection-convention gap: ops/contextual now
+implements symmer's LCU unitary partitioning (the notebook's
+``unitary_partitioning_method='LCU'``, the chain's default here) and its
+multi-stabilizer projection is pinned to the dense restriction P H P.
+The one convention that still differs is the Fe basis fit itself:
+best-atom zetas + regenerated 3d/4sp rows (the published Pietro-Hehre
+transition-metal factors are unrecoverable offline; chem/basis.py
+provenance).  benchmarks/li2fesio4_stages.py attributes the remaining
+delta PER STAGE against the notebook's own printed intermediates: the
+native full-cell RHF sits +0.437 Ha above pyscf's (cell 18), the active
+space/tapering stages match the notebook exactly (term counts,
+generators, sector), the native CS stage contributes <= 0.033 Ha, and
+the measured LCU-vs-stabilizer difference is <= 1e-3 Ha.  ``compare()``
+reports both spectra side by side (pinned in tests/test_li2fesio4.py).
 
 Run:  python -m openvqe_tpu.apps.quantum_batteries.li2fesio4 [n_homo_lumo]
 """
