@@ -17,6 +17,10 @@ Run:  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
           python benchmarks/bench_30q_mesh.py [n_ops]
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (standalone runs)
+
 import json
 import os
 import sys

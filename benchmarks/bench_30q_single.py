@@ -19,6 +19,10 @@ Usage: python benchmarks/bench_30q_single.py [n_atoms]   (default 15)
        molecule from the reference geometry table, e.g. CO2 — 30 qubits)
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (standalone runs)
+
 import json
 import sys
 import time

@@ -32,9 +32,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def run_converged(n_atoms: int = 13, max_iters: int = 35,
-                  threshold: float = 1e-2, verbose: bool = True) -> dict:
+                  threshold: float = 1e-2, verbose: bool = True,
+                  log_path: str | None = None) -> dict:
+    """``log_path`` (or env OVQE_ADAPT_LOG) persists the per-iteration
+    JSONL records as the run progresses, so a wall-clock-killed long run
+    still yields its trajectory."""
     import os
     import tempfile
+
+    log_path = log_path or os.environ.get("OVQE_ADAPT_LOG")
 
     import numpy as np
 
@@ -66,9 +72,11 @@ def run_converged(n_atoms: int = 13, max_iters: int = 35,
     hsp, pool, hf_init, _tap = taper_vqe_problem(hsp, list(pool), hf_init)
     setup_s = time.time() - t0
 
-    with tempfile.NamedTemporaryFile(mode="r", suffix=".jsonl",
-                                     delete=False) as tf:
-        log_path = tf.name
+    ephemeral = log_path is None
+    if ephemeral:
+        with tempfile.NamedTemporaryFile(mode="r", suffix=".jsonl",
+                                         delete=False) as tf:
+            log_path = tf.name
     try:
         t1 = time.time()
         iterations, result = fermionic_adapt_vqe(
@@ -81,7 +89,8 @@ def run_converged(n_atoms: int = 13, max_iters: int = 35,
         with open(log_path) as fh:
             records = [json.loads(line) for line in fh if line.strip()]
     finally:
-        os.unlink(log_path)
+        if ephemeral:
+            os.unlink(log_path)
 
     timing = {r["iteration"]: r for r in records if "t_screen_s" in r}
     traj = []

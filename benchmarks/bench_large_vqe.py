@@ -19,6 +19,10 @@ Prints one JSON line per system:
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (standalone runs)
+
 import json
 import sys
 import time

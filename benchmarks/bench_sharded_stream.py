@@ -17,6 +17,10 @@ Reference analog: none — the reference has no distributed runtime at all
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (standalone runs)
+
 import time
 
 import numpy as np

@@ -3,6 +3,10 @@
 Usage: python benchmarks/bench_streaming.py [n] [G]    (default 24 256)
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (standalone runs)
+
 import sys
 import time
 

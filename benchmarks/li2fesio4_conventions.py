@@ -43,6 +43,10 @@ only) regenerates the committed cs_hams_native.json artifact; without it
 no versioned file is touched.
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (standalone runs)
+
 import json
 import sys
 

@@ -7,6 +7,10 @@ the same device programs, so the persistent compile cache makes this a
 warm measurement.  Prints one JSON line per phase.
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (standalone runs)
+
 import json
 import os
 import pickle

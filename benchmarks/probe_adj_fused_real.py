@@ -5,6 +5,10 @@ the fused-path gain for gradient iterations.
 Usage: python benchmarks/probe_adj_fused_real.py [n_atoms]
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (standalone runs)
+
 import json
 import os
 import pickle

@@ -9,6 +9,10 @@ irreducible DMA + combine floor.
 Usage: python benchmarks/probe_attribution.py [n] [G]   (default 24 256)
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (standalone runs)
+
 import json
 import os
 import subprocess

@@ -3,6 +3,10 @@ forced scalar materialization — mirrors what bound.forward() + float(sum)
 does at 21+ qubits.  Prints step timings; a hang here reproduces the
 profiler stall."""
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (standalone runs)
+
 import time
 
 import jax

@@ -6,6 +6,10 @@ structure.  Values must agree (bf16x2 to ~1e-5).
 Usage: python benchmarks/probe_exp_variants.py
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (standalone runs)
+
 import json
 import time
 from functools import partial

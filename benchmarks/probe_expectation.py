@@ -8,6 +8,10 @@ both paths return the same value.
 Usage: python benchmarks/probe_expectation.py [n] [G] [K]  (default 24 256 64)
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (standalone runs)
+
 import json
 import sys
 import time

@@ -5,6 +5,10 @@ Synthetic single-Pauli groups (coef +-1) so fmode=1 is exact; measures the
 rotation sweep and the reversible adjoint per-group cost for fmode 0 and 1.
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (standalone runs)
+
 import sys
 import time
 

@@ -6,6 +6,10 @@ round-3 default-off measurement), fused C=8 (bigger per-link batches).
 Usage: python benchmarks/probe_rot_fused.py [n] [G] [run_len]
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (standalone runs)
+
 import json
 import sys
 import time

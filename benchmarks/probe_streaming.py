@@ -3,6 +3,10 @@ ANY-space refs + manual async DMA + input/output aliasing + dynamic fori
 bounds + in-kernel parity/sign construction.  Run on the real TPU.
 """
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (standalone runs)
+
 import functools
 
 import jax

@@ -6,6 +6,10 @@ Usage: python benchmarks/profile_phases.py [n_atoms]   (default 12)
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root (standalone runs)
+
 import json
 import sys
 import time
