@@ -127,40 +127,64 @@ def run_32q_energy() -> dict:
     }
 
 
-def run_32q_mesh_iteration(n_devices: int = 8, n_ops: int = 4,
+def run_32q_mesh_iteration(n_devices: int = 2, n_ops: int = 4,
                            n_ham_offdiag: int = 6,
                            n_ham_diag: int = 8) -> dict:
     """Virtual-mesh check: a reduced full iteration (energy + adjoint
-    gradient + descent) of the tapered H16 system through the
-    sharded-stream composition, on real molecular operators; single-device
-    grouped cross-check at the same truncation."""
+    gradient) of the tapered H16 system through the sharded-stream
+    composition, on real molecular operators, cross-checked against the
+    exact sparse-support oracle (sim/oracle.py — all UCCSD terms of one
+    excitation share an XOR mask, so n_ops operators reach <= 2^n_ops
+    basis states and energy/gradient have exact f64 closed forms).
+
+    Sized for a single host whose RAM is every virtual device's "HBM" at
+    once: a pair-lifted (concat-twin) generator at 2^30 was measured to
+    OOM a 125 GB host, so the generators are the largest-|MP2| operators
+    NOT touching the device qubit (local runs) and the cross-device
+    exchange is carried by the molecular Hamiltonian's own qubit-0
+    off-diagonal terms (lax.ppermute in the H apply).  The generator
+    pair-lift path is dryrun-gated at 26q mixed masks and hardware-
+    proven at 21q (__graft_entry__._dryrun_30q_stream_iteration,
+    bench_sharded_stream.py)."""
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from openvqe_tpu.ops.pauli import PauliSum
     from openvqe_tpu.parallel import sharded as sh
     from openvqe_tpu.parallel import sharded_stream as ss
-    from openvqe_tpu.sim import grouped as gr
+    from openvqe_tpu.sim import oracle as orc
     from openvqe_tpu.sim.compile import compile_op_sequence, compile_pauli_sum
 
     assert jax.default_backend() == "cpu"
     hsp, gens_all, theta0, hf_init, _gseq, _gham, meta = setup_32q()
     n = meta["qubits"]
+    d = int(np.log2(n_devices))
+    dev_mask = (1 << d) - 1                 # PauliSum qubits 0..d-1 = device bits
 
-    # truncate: largest-|coeff| off-diagonal + largest diagonal H terms
+    # truncate: largest-|coeff| off-diagonal + largest diagonal H terms,
+    # guaranteeing at least one CROSS-DEVICE off-diagonal term so the
+    # mesh exchange path runs at 30 qubits on real molecular data
     items = list(hsp)                       # [((x, z), coeff)]
     diag = sorted([t for t in items if t[0][0] == 0],
                   key=lambda t: -abs(t[1]))[:n_ham_diag]
     offd = sorted([t for t in items if t[0][0] != 0],
                   key=lambda t: -abs(t[1]))[:n_ham_offdiag]
+    if not any(t[0][0] & dev_mask for t in offd):
+        cross = max((t for t in items if t[0][0] & dev_mask),
+                    key=lambda t: abs(t[1]))
+        offd[-1] = cross
     ham = PauliSum(n, dict(diag + offd),
                    constant_coeff=hsp.constant_coeff)
 
-    # truncate pool: largest-|MP2-amplitude| operators
-    order = np.argsort(-np.abs(np.asarray(theta0)))[:n_ops]
-    gens = [gens_all[int(k)] for k in order]
-    theta = np.asarray([theta0[int(k)] for k in order]) + 0.05
+    # truncate pool: largest-|MP2-amplitude| operators local to the mesh
+    # (x mask clear of the device qubits — see docstring)
+    def is_local(ps):
+        return all((x & dev_mask) == 0 for (x, _z), _c in ps)
+
+    order = [int(k) for k in np.argsort(-np.abs(np.asarray(theta0)))
+             if is_local(gens_all[int(k)])][:n_ops]
+    gens = [gens_all[k] for k in order]
+    theta = np.asarray([theta0[k] for k in order]) + 0.05
 
     mesh = sh.make_mesh(n_devices)
     obj = ss.ShardedStreamObjective(ham, mesh, impl="xla")
@@ -168,34 +192,23 @@ def run_32q_mesh_iteration(n_devices: int = 8, n_ops: int = 4,
     t0 = time.time()
     e0, g0 = bound.energy_and_grad(theta)
     t_iter = time.time() - t0
-    theta1 = theta - 0.02 * np.asarray(g0)
-    e1, _ = bound.energy_and_grad(theta1)
 
-    # single-device grouped cross-check (same truncation)
-    gseq_t = gr.group_op_sequence(compile_op_sequence(gens, n))
-    gham_t = gr.group_pauli_sum(compile_pauli_sum(ham, n))
-    psi0 = np.zeros((2, 1 << n), np.float32)
-    psi0[0, hf_init] = 1.0
-    th = jnp.asarray(theta, jnp.float32)
-    psi = gr.apply_grouped_ops(jnp.asarray(psi0), th,
-                               jnp.asarray(gseq_t.x), jnp.asarray(gseq_t.z),
-                               jnp.asarray(gseq_t.s, jnp.float32),
-                               jnp.asarray(gseq_t.op))
-    hargs = tuple(np.asarray(a, np.float32)
-                  if isinstance(a, (np.ndarray, float))
-                  and np.asarray(a).dtype.kind == "f" else a
-                  for a in gr.ham_as_device(gham_t))
-    e_ref = float(gr.grouped_expectation(psi, *hargs))
-
-    ok = bool(abs(e0 - e_ref) < 1e-4 and np.isfinite(e1) and e1 <= e0 + 1e-7)
+    # exact sparse-support oracle (f64; dual-validated in tests/test_oracle.py)
+    e_ref, g_ref = orc.sparse_energy_and_grad(
+        theta, compile_op_sequence(gens, n), compile_pauli_sum(ham, n),
+        hf_init)
+    dev = abs(float(e0) - e_ref)
+    ok = bool(dev < 1e-4
+              and np.allclose(np.asarray(g0), g_ref, rtol=1e-3, atol=1e-4))
     out = {"metric": "H16 tapered 32->30q reduced iteration, "
                      f"{n_devices}-device virtual mesh (sharded-stream, "
-                     "real molecular ops)",
+                     "real molecular ops, exact-oracle cross-check)",
            "qubits": n, "n_ops": len(gens), "h_terms": len(ham),
-           "E0": float(e0), "E0_single_device": e_ref,
-           "dev": abs(float(e0) - e_ref),
-           "E1": float(e1), "descends": bool(e1 <= e0 + 1e-7),
+           "cross_device_h_terms": int(sum(bool(t[0][0] & dev_mask)
+                                           for t in offd)),
+           "E0": float(e0), "E0_oracle": e_ref, "dev": dev,
            "grad_norm": float(np.linalg.norm(np.asarray(g0))),
+           "grad_max_dev": float(np.max(np.abs(np.asarray(g0) - g_ref))),
            "s_iteration_cpu": round(t_iter, 1), "ok": ok}
     assert ok, out
     return out
