@@ -50,7 +50,10 @@ BASELINES = {
     "rotoselect_4q": 58.86,      # logs/rotoselect.txt:16-20
 }
 BASELINE_REL_ERR = 3.077e-05     # logs/adapt.txt:9-15
-TIME_BUDGET_S = float(os.environ.get("OVQE_BENCH_BUDGET", "1500"))
+# 2400 s soft budget: the 11-row suite measured ~1300 s warm before the
+# H16 frontier row (which alone needs ~530 s); rows skip gracefully as
+# the budget drains, newest-capability rows last
+TIME_BUDGET_S = float(os.environ.get("OVQE_BENCH_BUDGET", "2400"))
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 

@@ -161,21 +161,6 @@ def run_32q_mesh_iteration(n_devices: int = 2, n_ops: int = 4,
     d = int(np.log2(n_devices))
     dev_mask = (1 << d) - 1                 # PauliSum qubits 0..d-1 = device bits
 
-    # truncate: largest-|coeff| off-diagonal + largest diagonal H terms,
-    # guaranteeing at least one CROSS-DEVICE off-diagonal term so the
-    # mesh exchange path runs at 30 qubits on real molecular data
-    items = list(hsp)                       # [((x, z), coeff)]
-    diag = sorted([t for t in items if t[0][0] == 0],
-                  key=lambda t: -abs(t[1]))[:n_ham_diag]
-    offd = sorted([t for t in items if t[0][0] != 0],
-                  key=lambda t: -abs(t[1]))[:n_ham_offdiag]
-    if not any(t[0][0] & dev_mask for t in offd):
-        cross = max((t for t in items if t[0][0] & dev_mask),
-                    key=lambda t: abs(t[1]))
-        offd[-1] = cross
-    ham = PauliSum(n, dict(diag + offd),
-                   constant_coeff=hsp.constant_coeff)
-
     # truncate pool: largest-|MP2-amplitude| operators local to the mesh
     # (x mask clear of the device qubits — see docstring)
     def is_local(ps):
@@ -185,6 +170,23 @@ def run_32q_mesh_iteration(n_devices: int = 2, n_ops: int = 4,
              if is_local(gens_all[int(k)])][:n_ops]
     gens = [gens_all[k] for k in order]
     theta = np.asarray([theta0[k] for k in order]) + 0.05
+    gen_xs = {x for g in gens for (x, _z), _c in g}
+
+    # truncate H: largest diagonal terms + the largest off-diagonal terms
+    # whose XOR mask matches a selected generator (these COUPLE to the
+    # ansatz, so the gradient parity is non-vacuous — the globally
+    # largest off-diagonal terms commute past this 4-op ansatz and give
+    # an identically-zero gradient, measured), plus the largest
+    # CROSS-DEVICE term so the mesh exchange runs at 30q on real data
+    items = list(hsp)                       # [((x, z), coeff)]
+    diag = sorted([t for t in items if t[0][0] == 0],
+                  key=lambda t: -abs(t[1]))[:n_ham_diag]
+    offd = sorted([t for t in items if t[0][0] in gen_xs],
+                  key=lambda t: -abs(t[1]))[:n_ham_offdiag - 1]
+    offd.append(max((t for t in items if t[0][0] & dev_mask),
+                    key=lambda t: abs(t[1])))
+    ham = PauliSum(n, dict(diag + offd),
+                   constant_coeff=hsp.constant_coeff)
 
     mesh = sh.make_mesh(n_devices)
     obj = ss.ShardedStreamObjective(ham, mesh, impl="xla")
@@ -199,7 +201,8 @@ def run_32q_mesh_iteration(n_devices: int = 2, n_ops: int = 4,
         hf_init)
     dev = abs(float(e0) - e_ref)
     ok = bool(dev < 1e-4
-              and np.allclose(np.asarray(g0), g_ref, rtol=1e-3, atol=1e-4))
+              and np.allclose(np.asarray(g0), g_ref, rtol=1e-3, atol=1e-4)
+              and np.linalg.norm(g_ref) > 1e-3)   # non-vacuous gradient
     out = {"metric": "H16 tapered 32->30q reduced iteration, "
                      f"{n_devices}-device virtual mesh (sharded-stream, "
                      "real molecular ops, exact-oracle cross-check)",
@@ -216,14 +219,25 @@ def run_32q_mesh_iteration(n_devices: int = 2, n_ops: int = 4,
 
 if __name__ == "__main__":
     if "--mesh" in sys.argv:
-        # hard override (not setdefault): the global env sets
-        # JAX_PLATFORMS=axon and the mesh check must never claim the TPU
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        os.environ["PALLAS_AXON_POOL_IPS"] = ""
-        flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
-                 if "host_platform_device_count" not in f]
-        flags.append("--xla_force_host_platform_device_count=8")
-        os.environ["XLA_FLAGS"] = " ".join(flags)
+        # the axon plugin registers itself at interpreter start via
+        # sitecustomize, so in-process env edits are too late: re-exec a
+        # clean CPU-forced subprocess (same pattern as
+        # __graft_entry__.dryrun_multichip) unless already forced
+        import jax
+
+        if jax.default_backend() != "cpu":
+            import subprocess
+
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["PALLAS_AXON_POOL_IPS"] = ""
+            flags = [f for f in env.get("XLA_FLAGS", "").split()
+                     if "host_platform_device_count" not in f]
+            flags.append("--xla_force_host_platform_device_count=8")
+            env["XLA_FLAGS"] = " ".join(flags)
+            raise SystemExit(subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--mesh"],
+                env=env).returncode)
         print(json.dumps(run_32q_mesh_iteration()), flush=True)
     else:
         print(json.dumps(run_32q_energy()), flush=True)

@@ -45,9 +45,13 @@ class CompiledPauliSum:
 
 @dataclass
 class CompiledOpSequence:
-    """A parametrized product of Pauli rotations prod_t exp(i theta_{op(t)} w_t sigma_t)
-    — the Trotter-1 ansatz (reference builds this as a circuit per term via
-    build_ucc_ansatz, get_energy_ucc.py:42-45).
+    """A parametrized product of Pauli rotations
+    prod_t exp(-i theta_{op(t)} w_t sigma_t) — the Trotter-1 ansatz
+    (reference builds this as a circuit per term via build_ucc_ansatz,
+    get_energy_ucc.py:42-45).  The REALIZED rotation sign in the engine
+    is exp(-i...): verified amplitude-level in tests/test_oracle.py
+    (sim/oracle.py docstring explains why energy checks alone cannot
+    tell the signs apart).
 
     Terms are stored in application order; ``op_index[t]`` maps each term to
     its variational parameter.
@@ -98,7 +102,8 @@ def compile_op_sequence(ops: Sequence[PauliSum], n: int,
                         hermitian_check: bool = True,
                         tol: float = 1e-9) -> CompiledOpSequence:
     """Lower a list of Hermitian generators G_i (each a PauliSum) to one flat
-    rotation sequence realizing prod_i exp(i theta_i G_i) under Trotter-1."""
+    rotation sequence realizing prod_i exp(-i theta_i G_i) under Trotter-1
+    (the engine's realized sign — see CompiledOpSequence)."""
     xs: List[int] = []
     zs: List[int] = []
     kappas: List[complex] = []

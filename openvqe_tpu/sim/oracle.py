@@ -12,13 +12,21 @@ second simulation engine, and independent of every device code path.
 
 This is a validation oracle, not a simulator: cost is O(4^T_gens) in
 the worst case, so callers keep the total rotation-term count small
-(<= ~16).  Conventions follow ``sim/compile.py`` exactly:
+(<= ~16).  Conventions follow the ENGINE'S REALIZED semantics (verified
+amplitude-by-amplitude against sim/statevector.apply_ops):
 
     sigma_k |b> = kappa_k * (-1)^popcount((b XOR x_k) & z_k) |b XOR x_k>
     H = const + sum_k w_k sigma_k
-    ansatz = prod_t exp(i theta_{op_index[t]} * Re(w_t) * sigma_t)
+    ansatz = prod_t exp(-i theta_{op_index[t]} * Re(w_t) * sigma_t)
 
 (amplitude-index space — masks already bit-reversed by the compiler).
+The rotation sign is load-bearing: energies are invariant under state
+conjugation (<psi*|H|psi*> = <psi|H|psi> for any Hermitian H) and
+odd-Y pools turn the opposite sign into a theta-reflection, so an
+energy-only check can PASS with the wrong sign — tests/test_oracle.py
+therefore pins the amplitudes themselves, and the exp(+i...) variant
+was measured to diverge on x-coupled Hamiltonians (H16 mesh check:
+6.7e-3 Ha energy error, exactly negated gradient).
 
 Reference analog: none.  The reference validates against explicit
 circuit simulation only; an exact small-support oracle is what lets the
@@ -54,7 +62,8 @@ def sparse_forward(theta, seq: CompiledOpSequence,
             new[b] = new.get(b, 0.0j) + c * a
             j = b ^ x
             ph = kap * (-1.0 if (_popcount(j & z) & 1) else 1.0)
-            new[j] = new.get(j, 0.0j) + 1j * s * ph * a
+            # exp(-i ang sigma) = cos I - i sin sigma (the engine's sign)
+            new[j] = new.get(j, 0.0j) - 1j * s * ph * a
         state = new
     return state
 

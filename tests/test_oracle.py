@@ -49,7 +49,7 @@ def test_oracle_matches_engine(multi):
     seq = compile_op_sequence(gens, n)
     cham = compile_pauli_sum(ham, n)
 
-    energy, _fwd = sv.build_energy_fn(sv.hf_state(n, hf), seq, cham)
+    energy, fwd = sv.build_energy_fn(sv.hf_state(n, hf), seq, cham)
     import jax
     import jax.numpy as jnp
     e_eng = float(energy(jnp.asarray(theta)))
@@ -57,6 +57,68 @@ def test_oracle_matches_engine(multi):
 
     e_orc, g_orc = orc.sparse_energy_and_grad(theta, seq, cham, hf)
     assert abs(e_orc - e_eng) < 1e-9, (e_orc, e_eng)
+    assert np.allclose(g_orc, g_eng, atol=1e-7), (g_orc, g_eng)
+
+    # AMPLITUDE-level parity — the load-bearing assertion.  Energy alone
+    # cannot distinguish exp(-i theta w sigma) (the engine's realized
+    # sign) from exp(+i...): <psi*|H|psi*> == <psi|H|psi> for every
+    # Hermitian H, and odd-Y pools turn the wrong sign into a mere
+    # theta-reflection.  The +i variant shipped briefly and passed the
+    # energy checks while diverging 6.7e-3 Ha on x-coupled Hamiltonians.
+    planes = np.asarray(fwd(jnp.asarray(theta)))
+    psi_eng = planes[0] + 1j * planes[1]
+    state = orc.sparse_forward(theta, seq, hf)
+    for b, a in state.items():
+        assert abs(a - psi_eng[b]) < 1e-9, (b, a, psi_eng[b])
+    # everything outside the oracle support must be zero
+    mask = np.ones(1 << n, bool)
+    mask[list(state)] = False
+    assert np.max(np.abs(psi_eng[mask])) < 1e-12
+
+
+def test_oracle_sign_catches_x_coupled_hamiltonian():
+    """The failure shape that exposed the sign: off-diagonal H terms
+    whose XOR mask EQUALS a generator's (so <psi|H|psi> actually sees
+    the flipped amplitudes) — regression for the H16 mesh-check bug."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 8
+    rng = np.random.default_rng(11)
+    gens = []
+    for qs in ([0, 1, 2, 3], [2, 3, 4, 5]):
+        s1 = ["I"] * n
+        s2 = ["I"] * n
+        for q in qs[:3]:
+            s1[q] = "X"
+            s2[q] = "Y"
+        s1[qs[3]] = "Y"
+        s2[qs[3]] = "X"
+        gens.append(PauliSum.from_term(n, float(rng.normal() * 0.4),
+                                       "".join(s1))
+                    + PauliSum.from_term(n, float(rng.normal() * 0.4),
+                                         "".join(s2)))
+    ham = PauliSum.identity(n, 0.1)
+    zs = ["I"] * n
+    zs[1] = "Z"
+    ham = ham + PauliSum.from_term(n, 0.8, "".join(zs))
+    for g in gens:                       # x-matched off-diagonal terms
+        (x, z), _c = next(iter(g))
+        from openvqe_tpu.ops.pauli import xz_to_string
+        chars, _ph = xz_to_string(x, z, n)
+        # the Pauli STRING with a real coefficient is Hermitian by itself
+        ham = ham + PauliSum.from_term(n, 0.6, chars)
+    theta = rng.normal(size=2) * 0.4
+    hf = 0b0011
+
+    seq = compile_op_sequence(gens, n)
+    cham = compile_pauli_sum(ham, n)
+    energy, _ = sv.build_energy_fn(sv.hf_state(n, hf), seq, cham)
+    e_eng = float(energy(jnp.asarray(theta)))
+    g_eng = np.asarray(jax.grad(lambda t: energy(t))(jnp.asarray(theta)))
+    e_orc, g_orc = orc.sparse_energy_and_grad(theta, seq, cham, hf)
+    assert abs(e_orc - e_eng) < 1e-9, (e_orc, e_eng)
+    assert np.linalg.norm(g_eng) > 1e-3          # non-vacuous
     assert np.allclose(g_orc, g_eng, atol=1e-7), (g_orc, g_eng)
 
 
