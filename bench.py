@@ -65,8 +65,12 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     t_start = time.time()
-    rows = []        # full detail (printed per-row + BENCH_DETAIL.json)
-    compact = []     # {"m", "v", "x"} summary entries for the final line
+    rows = []            # full detail (printed per-row + BENCH_DETAIL.json)
+    compact = []         # {"m", "v", "x"} summary entries for the final line
+    hard_failures = []   # parity/certificate regressions: recorded in the
+                         # summary AND fail the process (exit 1) — the
+                         # blanket per-row except must not demote them to
+                         # an error row on an otherwise-green run
 
     def budget_left():
         return TIME_BUDGET_S - (time.time() - t_start)
@@ -231,8 +235,10 @@ def main():
             parity_ok = bool(r["de"] < 1e-4 and r["dg"] < 1e-4
                              and r["dv"] < 1e-4)
             if not parity_ok:
+                hard_failures.append(f"sharded-stream parity: {r}")
                 raise AssertionError(f"sharded-stream parity regression: {r}")
             if not r["pool_real"]:
+                hard_failures.append(f"pool real-certificate: {r}")
                 raise AssertionError(
                     f"pool real-certificate regression: {r}")
             emit("stream_1dev_21q", {
@@ -328,7 +334,7 @@ def main():
                                       "error": repr(e)[:200]})
 
     # hard accuracy gate: the headline must match reference accuracy
-    ok = rel_8 <= 2.0 * BASELINE_REL_ERR
+    ok = rel_8 <= 2.0 * BASELINE_REL_ERR and not hard_failures
     detail = {
         "headline": "CS-ADAPT-VQE 8-qubit wall-clock per experiment",
         "value_s": round(mean_8, 6),
@@ -336,6 +342,7 @@ def main():
         "rel_err_vs_ccsd": rel_8,
         "baseline_s": BASELINES["cs_adapt_8q"],
         "accuracy_ok": ok,
+        "hard_failures": hard_failures,
         "total_wall_s": round(time.time() - t_start, 1),
         "slugs": "see bench.py module docstring",
         "rows": rows,
@@ -347,7 +354,8 @@ def main():
     # under its ~2000-char tail window (round-4 VERDICT item 1)
     out = {
         "metric": "CS-ADAPT-VQE 8-qubit wall-clock per experiment"
-                  + ("" if ok else " (ACCURACY MISS)"),
+                  + ("" if ok else (" (PARITY REGRESSION)" if hard_failures
+                                    else " (ACCURACY MISS)")),
         "value": round(mean_8, 6),
         "unit": "s",
         "vs_baseline": round(BASELINES["cs_adapt_8q"] / mean_8, 3),
@@ -359,6 +367,10 @@ def main():
     line = json.dumps(out, separators=(",", ":"))
     assert len(line) < 1800, f"summary line too long ({len(line)} chars)"
     print(line, flush=True)
+    if hard_failures:
+        # after the records are written/printed, FAIL the run: a parity
+        # or real-certificate regression must not read as a green bench
+        raise SystemExit(f"hard failure(s): {hard_failures}"[:500])
 
 
 if __name__ == "__main__":

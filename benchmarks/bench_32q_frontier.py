@@ -182,9 +182,31 @@ def run_32q_mesh_iteration(n_devices: int = 2, n_ops: int = 4,
     diag = sorted([t for t in items if t[0][0] == 0],
                   key=lambda t: -abs(t[1]))[:n_ham_diag]
     offd = sorted([t for t in items if t[0][0] in gen_xs],
-                  key=lambda t: -abs(t[1]))[:n_ham_offdiag - 1]
-    offd.append(max((t for t in items if t[0][0] & dev_mask),
-                    key=lambda t: abs(t[1])))
+                  key=lambda t: -abs(t[1]))[:n_ham_offdiag - 2]
+    # a PAIR of cross-device terms whose XOR difference equals a selected
+    # generator mask: their H^2 cross-product lands back on the oracle
+    # support, making the |H psi|^2 gate below phase-sensitive to the
+    # mesh exchange (a single cross term only gates its 2-norm; its
+    # <psi|H|psi> contribution is structurally zero under local-run
+    # generators).  Both partners are REAL molecular terms, found by
+    # exact x-index lookup.
+    by_x = {}
+    for t in items:
+        by_x.setdefault(t[0][0], []).append(t)
+    pair = None
+    for t1 in sorted((t for t in items if t[0][0] & dev_mask),
+                     key=lambda t: -abs(t[1]))[:200]:
+        for g in gen_xs:
+            cands = by_x.get(t1[0][0] ^ g, [])
+            if cands:
+                t2 = max(cands, key=lambda t: abs(t[1]))
+                if t2[0] != t1[0]:
+                    pair = (t1, t2)
+                    break
+        if pair:
+            break
+    assert pair is not None, "no paired cross-device molecular terms found"
+    offd.extend(pair)
     ham = PauliSum(n, dict(diag + offd),
                    constant_coeff=hsp.constant_coeff)
 
@@ -196,13 +218,35 @@ def run_32q_mesh_iteration(n_devices: int = 2, n_ops: int = 4,
     t_iter = time.time() - t0
 
     # exact sparse-support oracle (f64; dual-validated in tests/test_oracle.py)
+    seqc = compile_op_sequence(gens, n)
     e_ref, g_ref = orc.sparse_energy_and_grad(
-        theta, compile_op_sequence(gens, n), compile_pauli_sum(ham, n),
-        hf_init)
+        theta, seqc, compile_pauli_sum(ham, n), hf_init)
     dev = abs(float(e0) - e_ref)
+
+    # phase-sensitive exchange gate: |H psi|^2 vs the oracle's exact
+    # <psi|H^2|psi> (see the paired-cross-term selection above), with a
+    # teeth self-check — flipping one partner's sign in the oracle must
+    # move the value by >> the pass tolerance
+    import jax.numpy as jnp
+    psi = bound.forward(theta)
+    lam = obj.ham_apply(psi)
+    s_eng = float(jax.jit(lambda a: jnp.sum(a * a))(lam))
+    del psi, lam
+    state = orc.sparse_forward(theta, seqc, hf_init)
+    s_ref = orc.sparse_expectation(
+        state, compile_pauli_sum((ham * ham).prune(1e-12), n))
+    (k2, c2) = pair[1]
+    flip = ham + PauliSum(n, {k2: -2.0 * c2})
+    s_flip = orc.sparse_expectation(
+        state, compile_pauli_sum((flip * flip).prune(1e-12), n))
+    gate_signal = abs(s_ref - s_flip) / max(1.0, abs(s_ref))
+    s_dev = abs(s_eng - s_ref) / max(1.0, abs(s_ref))
+
     ok = bool(dev < 1e-4
               and np.allclose(np.asarray(g0), g_ref, rtol=1e-3, atol=1e-4)
-              and np.linalg.norm(g_ref) > 1e-3)   # non-vacuous gradient
+              and np.linalg.norm(g_ref) > 1e-3    # non-vacuous gradient
+              and s_dev < 1e-5                    # exchange gate (f32)
+              and gate_signal > 1e-4)             # ... with teeth
     out = {"metric": "H16 tapered 32->30q reduced iteration, "
                      f"{n_devices}-device virtual mesh (sharded-stream, "
                      "real molecular ops, exact-oracle cross-check)",
@@ -212,6 +256,8 @@ def run_32q_mesh_iteration(n_devices: int = 2, n_ops: int = 4,
            "E0": float(e0), "E0_oracle": e_ref, "dev": dev,
            "grad_norm": float(np.linalg.norm(np.asarray(g0))),
            "grad_max_dev": float(np.max(np.abs(np.asarray(g0) - g_ref))),
+           "h2_norm_engine": s_eng, "h2_norm_oracle": s_ref,
+           "h2_rel_dev": s_dev, "h2_gate_signal": gate_signal,
            "s_iteration_cpu": round(t_iter, 1), "ok": ok}
     assert ok, out
     return out

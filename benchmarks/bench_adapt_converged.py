@@ -106,7 +106,11 @@ def run_converged(n_atoms: int = 13, max_iters: int = 35,
             "t_optimize_s": t.get("t_optimize_s"),
             "opt_nfev": t.get("opt_nfev"),
         })
-    converged = bool(result)         # result dict filled only on converge
+    # the loop fills `result` on convergence OR stagnation; "converged"
+    # here means the REFERENCE criterion (final pool-gradient norm below
+    # threshold), so stagnation-terminated runs are labeled honestly
+    final_norm = abs(traj[-1]["norm"]) if traj else None
+    converged = bool(final_norm is not None and final_norm < threshold)
     return {
         "system": f"H{n_atoms}{'+' if charge else ''}",
         "system_qubits": n_sys, "qubits": hsp.nbqbits, "tapered": True,
@@ -114,7 +118,7 @@ def run_converged(n_atoms: int = 13, max_iters: int = 35,
         "HF": float(md.info["HF"]), "MP2": float(md.info["MP2"]),
         "CCSD": e_ccsd,
         "threshold": threshold, "max_iters": max_iters,
-        "converged": converged,
+        "converged": converged, "final_norm": final_norm,
         "final_energy": traj[-1]["energy"] if traj else None,
         "final_abs_E_minus_CCSD": traj[-1]["abs_E_minus_CCSD"] if traj
         else None,

@@ -141,13 +141,29 @@ def rhf(S: np.ndarray, hcore: np.ndarray, eri: np.ndarray, n_elec: int,
             break
         e_old = e_elec
     if level_shift or damp:
-        # report canonical (unshifted) orbitals + the aufbau density THEY
+        # report canonical (unshifted) orbitals + the density THEY
         # generate, so the returned (mo_coeff, mo_energy, dm_ao, energy)
         # are mutually consistent even when the loop exits unconverged
-        # (the damped density is non-idempotent); at convergence this
-        # reproduces the stationary density
+        # (the damped density is non-idempotent).  Occupation is by
+        # MAXIMUM OVERLAP with the loop's density, not aufbau: level
+        # shifting exists precisely to hold non-aufbau roots, and a
+        # lowest-eigenvalue refill could silently swap the converged
+        # state for a different one while still reporting converged=True.
+        # For aufbau solutions the two rules coincide.
         e_mo, C_ortho = eigh(X.T @ fock(dm) @ X)
         C = X @ C_ortho
+        # per-orbital occupation weight in the loop's density:
+        # w_i = <phi_i| S dm S |phi_i> / 2  (in the orthonormal basis)
+        w_occ = np.einsum("pi,pq,qi->i", C, S @ (0.5 * dm) @ S, C)
+        occ_idx = np.sort(np.argsort(-w_occ)[:n_occ])
+        if not np.array_equal(occ_idx, np.arange(n_occ)):
+            # reorder so occupied-by-overlap fill the first n_occ columns
+            # (downstream consumers take mo_coeff[:, :n_occ] as occupied);
+            # each block stays energy-sorted
+            vir_idx = np.sort(np.setdiff1d(np.arange(C.shape[1]), occ_idx))
+            perm = np.concatenate([occ_idx, vir_idx])
+            C = C[:, perm]
+            e_mo = e_mo[perm]
         dm = 2.0 * C[:, :n_occ] @ C[:, :n_occ].T
         e_old = 0.5 * np.einsum("pq,pq->", dm, hcore + fock(dm))
 

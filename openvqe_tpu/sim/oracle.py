@@ -1,10 +1,11 @@
 """Exact sparse-support oracle for Trotter-1 Pauli-rotation ansatze.
 
-The ansatz ``prod_t exp(i theta_{op(t)} w_t sigma_t)`` (sim/compile.py
-conventions) applied to a computational-basis state reaches at most
-``2^T`` basis states after ``T`` rotation terms — each single-Pauli
-rotation ``exp(i a sigma) = cos(a) I + i sin(a) sigma`` maps a basis
-state onto itself and one XOR partner.  For the few-operator programs
+The ansatz ``prod_t exp(-i theta_{op(t)} w_t sigma_t)`` (the engine's
+realized sign — see the Conventions block below) applied to a
+computational-basis state reaches at most ``2^T`` basis states after
+``T`` rotation terms — each single-Pauli rotation
+``exp(-i a sigma) = cos(a) I - i sin(a) sigma`` maps a basis state onto
+itself and one XOR partner.  For the few-operator programs
 used as cross-checks (driver dry runs, sharded-engine validations) that
 support is tiny, so the energy has an EXACT closed form computable on
 the host in microseconds and with f64 arithmetic — no 2^n state, no
